@@ -1,0 +1,240 @@
+package graft.app
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.extract.Extractors
+import graft.sched.Scheduler
+import graft.seen.UrlSeen
+import graft.state.SnapshotTable
+import graft.url.UrlCanon
+
+/** The round-based crawl engine (SURVEY.md §3 "Spark shape", §7 module 8).
+  *
+  * Reference lifecycle per URL (carrefour_extract_data.py:123-203): fetch
+  * en+ar -> extract 34 fields -> append Excel -> mark seen -> retry once on
+  * failure; checkpoint after every row. The engine amortizes that into
+  * rounds, each ONE Catalyst plan chain + ONE atomic snapshot commit:
+  *
+  *   pending frontier
+  *     -> dedup (first-wins by discovered_seq)          [A1/J4]
+  *     -> URL-seen anti-join (Bloom + exact)            [J4]
+  *     -> robots filter + per-host budget               [O2/O3]
+  *     -> deterministic global crawl order              [O1]
+  *     -> salted repartition by host                    [skew]
+  *     -> join pages (the "fetch"), EN⋈AR pivot         [S4/J1]
+  *     -> extraction kernel -> Product projection       [P1-P23]
+  *     -> barcode dedup + barcode explode               [A1/G1]
+  *     -> sinks: products/seen/frontier/quarantine      [K1-K7]
+  *     -> harvest links -> next round's frontier        [S11/J5]
+  *
+  * Misses (frontier URL with no page) re-enter with attempt+1 and land in
+  * quarantine at maxAttempts [O4/O5]. All state lives in SnapshotTables; the
+  * checkpoint file commits LAST, so a kill at any point resumes exactly
+  * [O6] — verified by CrawlEngineSpec.
+  */
+final class CrawlEngine(
+    spark: SparkSession,
+    stateDir: String,
+    runDate: String = "2024-11-10",
+    numPartitions: Int = 32,
+    saltFactor: Int = 8,
+    defaultBudget: Int = 1000,
+    maxAttempts: Int = 5,
+    bloomFpp: Double = 0.03) {
+
+  import spark.implicits._
+
+  val frontierTable = new SnapshotTable(spark, s"$stateDir/frontier")
+  val seenTable = new SnapshotTable(spark, s"$stateDir/seen")
+  val productsTable = new SnapshotTable(spark, s"$stateDir/products")
+  val quarantineTable = new SnapshotTable(spark, s"$stateDir/quarantine")
+  val scheduleTable = new SnapshotTable(spark, s"$stateDir/schedule")
+  val lineageTable = new SnapshotTable(spark, s"$stateDir/lineage")
+
+  private val mapper = new ObjectMapper()
+  private val ckptPath = new Path(s"$stateDir/checkpoint.json")
+  private lazy val fs: FileSystem = ckptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  final case class Checkpoint(round: Int, frontier: Int, seen: Int, products: Int,
+      quarantine: Int, schedule: Int, lineage: Int, scheduledTotal: Long)
+
+  def readCheckpoint(): Option[Checkpoint] = {
+    if (!fs.exists(ckptPath)) return None
+    val in = fs.open(ckptPath)
+    val n = mapper.readTree(in); in.close()
+    Some(Checkpoint(n.path("round").asInt(), n.path("frontier").asInt(), n.path("seen").asInt(),
+      n.path("products").asInt(), n.path("quarantine").asInt(), n.path("schedule").asInt(),
+      n.path("lineage").asInt(), n.path("scheduledTotal").asLong()))
+  }
+
+  private def writeCheckpoint(c: Checkpoint): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("round", c.round); node.put("frontier", c.frontier); node.put("seen", c.seen)
+    node.put("products", c.products); node.put("quarantine", c.quarantine)
+    node.put("schedule", c.schedule); node.put("lineage", c.lineage)
+    node.put("scheduledTotal", c.scheduledTotal)
+    val tmp = new Path(s"$stateDir/.checkpoint.json.tmp")
+    val out = fs.create(tmp, true); out.write(mapper.writeValueAsBytes(node)); out.close()
+    if (fs.exists(ckptPath)) fs.delete(ckptPath, false)
+    fs.rename(tmp, ckptPath)
+  }
+
+  /** Derive scheduling columns for raw (category, url, is_processed,
+    * discovered_seq) seeds (helpers.py:104-117 semantics: the CSV row order
+    * IS the crawl priority, so discovered_seq must be supplied by the
+    * source — CSV readers provide it as the row index). */
+  def enrichSeeds(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("url_norm", UrlCanon.canonUdf(col("url")))
+      .withColumn("url_hash", xxhash64(col("url_norm")))
+      .withColumn("host", UrlCanon.hostUdf(col("url_norm")))
+      .withColumn("depth", UrlCanon.depthUdf(col("url_norm")))
+      .withColumn("host_rank", lit(0))
+      .withColumn("attempt", lit(0))
+
+  /** Initialize state from a frontier Dataset (FrontierEntry columns). */
+  def init(frontier: DataFrame): Unit = {
+    val pending = frontier.filter(!col("is_processed"))
+    frontierTable.overwrite(pending)
+    // pre-processed rows are already "seen" (reference: is_processed=True
+    // rows are never re-fetched, helpers.py:113-114)
+    val preSeen = frontier.filter(col("is_processed")).select(col("url_hash"))
+    seenTable.overwrite(preSeen)
+    writeCheckpoint(Checkpoint(0,
+      frontierTable.currentSnapshot.map(_.id).getOrElse(0),
+      seenTable.currentSnapshot.map(_.id).getOrElse(0), 0, 0, 0, 0, 0L))
+  }
+
+  private def emptyFrontierLike(df: DataFrame): DataFrame = df.limit(0)
+
+  /** Run one round against the pages table. Returns #URLs scheduled. */
+  def runRound(pages: DataFrame, robots: DataFrame, budgets: DataFrame): Long = {
+    val ckpt = readCheckpoint().getOrElse(Checkpoint(0, 0, 0, 0, 0, 0, 0, 0L))
+    val round = ckpt.round + 1
+
+    val pendingOpt = if (ckpt.frontier > 0) frontierTable.readAt(ckpt.frontier) else frontierTable.read()
+    val pending = pendingOpt.getOrElse(return 0L)
+    if (pending.isEmpty) return 0L
+
+    val frontierCols = pending.columns.map(col).toSeq
+
+    // A1: first-wins dedup of duplicate frontier entries by url_hash
+    val dedupW = Window.partitionBy(col("url_hash")).orderBy(col("discovered_seq"))
+    val deduped = pending
+      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1).drop("__rn")
+
+    // J4: Bloom + exact anti-join against seen
+    val seen = (if (ckpt.seen > 0) seenTable.readAt(ckpt.seen) else seenTable.read())
+      .getOrElse(Seq.empty[Long].toDF("url_hash"))
+    val seenCount = seen.count()
+    val unseen = UrlSeen.antiJoin(deduped, seen, "url_hash", seenCount, bloomFpp)
+
+    // O1-O3: robots, budgets, deterministic order
+    val (scheduled0, deferred) =
+      Scheduler.schedule(unseen, robots, budgets, defaultBudget, numPartitions)
+    val scheduled = Scheduler.saltedByHost(scheduled0, numPartitions, saltFactor).persist()
+    val scheduledCount = scheduled.count()
+
+    // S4/J1: "fetch" = join pages on the language-normalized canonical key;
+    // extraction runs ONLY on joined (scheduled) pages.
+    val pagesKeyed = pages
+      .withColumn("url_key",
+        UrlCanon.canonUdf(regexp_replace(col("url"), "/ar/", "/en/")))
+    val joined = scheduled
+      .select(col("url_norm"), col("url").as("frontier_url"), col("category"),
+        col("crawl_order"), col("attempt"), col("host"))
+      .join(pagesKeyed, col("url_key") === col("url_norm"), "inner")
+    val withFields = Extractors.withPageFields(joined)
+    val pivoted = Extractors.pivotLangs(withFields, "url_norm")
+      .join(scheduled.select(col("url_norm"), col("crawl_order"), col("category")), Seq("url_norm"))
+      .withColumn("url_en", coalesce(col("url_en"), col("url_norm")))
+
+    // P*: Product projection; A1: first-wins barcode dedup by crawl order;
+    // G1: barcode explode
+    val productsOrdered =
+      Extractors.carrefourProduct(pivoted, runDate, passThrough = Seq("crawl_order"))
+    val barcodeW = Window.partitionBy(col("barcode")).orderBy(col("crawl_order"))
+    val dedupedProducts = productsOrdered
+      .withColumn("__rn", row_number().over(barcodeW)).filter(col("__rn") === 1)
+      .drop("__rn", "crawl_order")
+    val products = Extractors.explodeBarcodes(dedupedProducts)
+
+    // O4/O5: misses -> retry or quarantine
+    val missed = scheduled.join(
+      pagesKeyed.select(col("url_key")).distinct(),
+      col("url_key") === col("url_norm"), "left_anti")
+    val retry = missed.filter(col("attempt") + 1 < maxAttempts)
+      .withColumn("attempt", col("attempt") + 1)
+      .select(frontierCols: _*)
+    val quarantined = missed.filter(col("attempt") + 1 >= maxAttempts)
+      .withColumn("attempt", col("attempt") + 1)
+      .select(frontierCols: _*)
+
+    // S11/J5/P14: harvest links from fetched EN pages -> next-generation
+    // frontier entries; host_rank = round so later generations sort after
+    // earlier ones (BFS frontier expansion)
+    val newEntries = withFields
+      .filter(col("lang") === "en")
+      .select(col("category"), col("crawl_order"),
+        posexplode(col("fields.links")).as(Seq("link_idx", "href")))
+      .filter(col("href") =!= "N/A" && col("href").startsWith("http"))
+      .withColumn("url", col("href"))
+      .withColumn("url_norm", UrlCanon.canonUdf(col("url")))
+      .withColumn("url_hash", xxhash64(col("url_norm")))
+      .withColumn("host", UrlCanon.hostUdf(col("url_norm")))
+      .withColumn("depth", UrlCanon.depthUdf(col("url_norm")))
+      .withColumn("host_rank", lit(round))
+      .withColumn("is_processed", lit(false))
+      .withColumn("discovered_seq",
+        col("crawl_order") * 1000 + col("link_idx") + lit(round.toLong * 1000000000L))
+      .withColumn("attempt", lit(0))
+      .select(frontierCols: _*)
+
+    // next frontier = deferred ∪ retries ∪ new links (minus just-seen)
+    val justSeen = scheduled.select(col("url_hash"))
+    val nextFrontier = deferred.select(frontierCols: _*)
+      .unionByName(retry)
+      .unionByName(newEntries.join(justSeen, Seq("url_hash"), "left_anti").select(frontierCols: _*))
+
+    // per-partition lineage/metrics for this round
+    val lineage = scheduled
+      .groupBy(pmod(col("url_hash"), lit(numPartitions)).cast("int").as("partition_id"))
+      .agg(countDistinct(col("host")).as("host_count"), count(lit(1)).as("url_count"),
+        min(col("url_hash")).as("min_url_hash"), max(col("url_hash")).as("max_url_hash"))
+      .withColumn("round", lit(round))
+      .select(col("round"), col("partition_id"), col("host_count"), col("url_count"),
+        col("min_url_hash"), col("max_url_hash"))
+
+    // --- commit: tables first, checkpoint last (atomic resume point) ---
+    val fTid = frontierTable.overwrite(nextFrontier)
+    val sTid = seenTable.append(justSeen)
+    val pTid = productsTable.append(products)
+    val qTid = quarantineTable.append(quarantined)
+    val schedTid = scheduleTable.append(
+      scheduled.select(col("crawl_order"), lit(round).as("round"), col("host"),
+        col("url_norm"), col("url"), col("category"), col("attempt")))
+    val lTid = lineageTable.append(lineage)
+    writeCheckpoint(Checkpoint(round, fTid, sTid, pTid, qTid, schedTid, lTid,
+      ckpt.scheduledTotal + scheduledCount))
+    scheduled.unpersist()
+    scheduledCount
+  }
+
+  /** Drain the frontier to exhaustion (or maxRounds). Returns total URLs
+    * scheduled across the run. */
+  def run(pages: DataFrame, robots: DataFrame, budgets: DataFrame, maxRounds: Int = 100): Long = {
+    var total = 0L
+    var rounds = 0
+    var last = -1L
+    while (last != 0L && rounds < maxRounds) {
+      last = runRound(pages, robots, budgets)
+      total += last
+      rounds += 1
+    }
+    total
+  }
+}

@@ -1,0 +1,183 @@
+package graft.extract
+
+import graft.html.MiniHtml
+import graft.html.MiniHtml.Elem
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** The byte-identity extraction kernel: every scalar extraction the reference
+  * performs over a fetched page, reimplemented as pure Scala over MiniHtml
+  * with the reference's exact sentinel semantics (SURVEY.md §2.2).
+  *
+  * Design point for scale: the page is parsed ONCE and every field extracted
+  * from the same DOM, returned as one struct — one UDF invocation per
+  * (url, lang) row instead of ~10 re-parses. Jackson (ships with Spark) is
+  * used for the embedded-JSON islands.
+  *
+  * Reference citations are per-method, into /root/reference/.
+  */
+object ExtractKernel extends Serializable {
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  /** All fields extracted from one page (one language variant). Fields are
+    * sentinel-bearing strings exactly as the reference produces them; the
+    * date-relative pieces are returned as raw day-counts so the plan can
+    * stamp dates from an injected, deterministic run date. */
+  final case class PageFields(
+      name: String,           // P1/P2 with language-appropriate sentinel
+      brand: String,          // P4 (default "")
+      categories: Seq[String],// P6: drop-first, pad "" to 7, take 7
+      barcode: String,        // P7 (__NEXT_DATA__ barCodes[0] / ean / sentinel)
+      imageUrl: String,       // P8 ("Image not found")
+      priceBefore: String,    // P9 (guarded; "Price not found")
+      priceAfter: String,     // P10 (default "")
+      offerDaysToAdd: Int,    // P5: first integer of the offer span, -1 = absent
+      ldName: String, ldBrand: String, ldProductId: String, ldImage: String, // P15
+      breadcrumbs: Seq[String], // Metro breadcrumb variant of P6
+      metroPriceBefore: String, metroPriceAfter: String, // P16 (null -> "")
+      links: Seq[String])     // P14 raw hrefs ("N/A" for missing)
+
+  final val NameSentinelEn = "Product name not found"
+  final val NameSentinelAr = "لم يتم العثور على اسم المنتج"
+  final val BarcodeSentinel = "Product barcode not found"
+  final val ImageSentinel = "Image not found"
+  final val PriceSentinel = "Price not found"
+
+  private val DigitsRe = "\\d+".r
+  private val PriceRe = "\\d+\\.\\d+".r
+
+  /** P1/P2 — scripts/utils/extraction_helpers.py:3-17. select_one(sel).text,
+    * language-specific sentinel when missing. NOTE: the reference does NOT
+    * strip here (it strips in P4 but not P1/P2). */
+  def productName(root: Elem, selector: String, sentinel: String): String =
+    MiniHtml.selectOne(root, selector).map(_.text).getOrElse(sentinel)
+
+  /** P4 — carrefour_extract_data.py:26-32: `.css-1nnke3o` text stripped, "" default. */
+  def brandName(root: Elem): String =
+    MiniHtml.selectOne(root, ".css-1nnke3o").map(_.text.trim).getOrElse("")
+
+  /** P5 — carrefour_extract_data.py:35-46: first integer in
+    * `.css-juexlj > span:nth-child(2)`; -1 when absent (plan maps -1 -> ""). */
+  def offerDaysToAdd(root: Elem): Int =
+    MiniHtml.selectOne(root, ".css-juexlj > span:nth-child(2)")
+      .flatMap(e => DigitsRe.findFirstIn(e.text.trim))
+      .map(_.toInt).getOrElse(-1)
+
+  /** P6 — carrefour_extract_data.py:49-59: `.css-iamwo8` texts (stripped,
+    * non-empty), drop first, right-pad "" to exactly 7. */
+  def categories(root: Elem): Seq[String] = {
+    val all = MiniHtml.select(root, ".css-iamwo8").map(_.text.trim).filter(_.nonEmpty)
+    val dropped = if (all.nonEmpty) all.tail else Nil
+    (dropped ++ Seq.fill(7)("")).take(7)
+  }
+
+  /** P7 — carrefour_extract_data.py:62-84: `#__NEXT_DATA__` JSON,
+    * products[0].attributes.barCodes[0], fallback .ean, sentinel otherwise. */
+  def barcode(root: Elem): String = {
+    try {
+      MiniHtml.selectOne(root, "#__NEXT_DATA__") match {
+        case None => BarcodeSentinel
+        case Some(el) =>
+          val json = mapper.readTree(el.text.trim)
+          val attrs = json.path("props").path("initialProps").path("pageProps")
+            .path("initialData").path("products").path(0).path("attributes")
+          val bars = attrs.path("barCodes")
+          if (bars.isArray && bars.size() > 0) bars.get(0).asText()
+          else {
+            val ean = attrs.path("ean")
+            if (!ean.isMissingNode && !ean.isNull && ean.asText().nonEmpty) ean.asText()
+            else BarcodeSentinel
+          }
+      }
+    } catch { case _: Exception => BarcodeSentinel }
+  }
+
+  /** P8 — carrefour_extract_data.py:87-93: `div.css-1c2pck7 img`@src. */
+  def imageUrl(root: Elem): String =
+    MiniHtml.selectOne(root, "div.css-1c2pck7 img")
+      .flatMap(_.attrs.get("src")).getOrElse(ImageSentinel)
+
+  /** P10 — carrefour_extract_data.py:114-120: `.css-1i90gmp` first \d+.\d+. */
+  def priceAfter(root: Elem): String =
+    MiniHtml.selectOne(root, ".css-1i90gmp")
+      .flatMap(e => PriceRe.findFirstIn(e.text)).getOrElse("")
+
+  /** P9 — carrefour_extract_data.py:96-111: if priceAfter present, read
+    * `del.css-1bdwabt` (raise on 'Use code'), else/on-failure fall back to
+    * `.css-17ctnp`; sentinel "Price not found". */
+  def priceBefore(root: Elem, priceAfterValue: String): String = {
+    def fallback: String =
+      MiniHtml.selectOne(root, ".css-17ctnp")
+        .flatMap(e => PriceRe.findFirstIn(e.text)).getOrElse(PriceSentinel)
+    if (priceAfterValue.nonEmpty) {
+      MiniHtml.selectOne(root, "del.css-1bdwabt") match {
+        case Some(el) =>
+          val t = el.text
+          if (t.contains("Use code")) fallback
+          else PriceRe.findFirstIn(t).getOrElse("")
+        case None => fallback
+      }
+    } else fallback
+  }
+
+  /** P15 — metro_markets_extract_product_data.py:114-122: first
+    * `script[type=application/ld+json]` -> (name, brand, productID, image). */
+  def ldJson(root: Elem): (String, String, String, String) = {
+    try {
+      MiniHtml.selectOne(root, "script[type=application/ld+json]") match {
+        case None => ("", "", "", "")
+        case Some(el) =>
+          val j = mapper.readTree(el.text.trim)
+          def f(k: String): String = { val n = j.path(k); if (n.isMissingNode || n.isNull) "" else n.asText() }
+          val brand = { val b = j.path("brand"); if (b.isObject) b.path("name").asText("") else b.asText("") }
+          (f("name"), brand, f("productID"), f("image"))
+      }
+    } catch { case _: Exception => ("", "", "", "") }
+  }
+
+  /** Metro breadcrumb categories — metro_markets_extract_product_data.py:48-81:
+    * `.breadcrumb li` texts via nested `a` (li without `a` -> ""), drop the
+    * first crumb, pad "" to 7. */
+  def breadcrumbs(root: Elem): Seq[String] = {
+    val lis = MiniHtml.select(root, ".breadcrumb li")
+    val crumbs = lis.map { li =>
+      MiniHtml.selectOne(li, "a").map(_.text.trim).getOrElse("")
+    }
+    val dropped = if (crumbs.nonEmpty) crumbs.tail else Nil
+    (dropped ++ Seq.fill(7)("")).take(7)
+  }
+
+  /** P16 — metro_markets_extract_product_data.py:21-46: `.price p.before` /
+    * `.price p.after` text, strip literal "LE", trim; "" when absent. */
+  def metroPrice(root: Elem, which: String): String =
+    MiniHtml.selectOne(root, s".price p.$which")
+      .map(e => e.text.replace("LE", "").trim).getOrElse("")
+
+  /** P14 — href harvest: every `a`'s href, "N/A" when the attribute is
+    * missing (metro_markets_extract_product_urls.py:56-66). Absolutization
+    * happens in the plan (UrlCanon.absolutize). */
+  def links(root: Elem): Seq[String] =
+    MiniHtml.select(root, "a").map(_.attrs.getOrElse("href", "N/A"))
+
+  /** Parse once, extract everything. `lang` selects the P1 vs P2 sentinel. */
+  def extractAll(html: String, lang: String): PageFields = {
+    val root = MiniHtml.parse(if (html == null) "" else html)
+    val sentinel = if (lang == "ar") NameSentinelAr else NameSentinelEn
+    val pAfter = priceAfter(root)
+    val (ldN, ldB, ldP, ldI) = ldJson(root)
+    PageFields(
+      name = productName(root, ".css-106scfp", sentinel),
+      brand = brandName(root),
+      categories = categories(root),
+      barcode = barcode(root),
+      imageUrl = imageUrl(root),
+      priceBefore = priceBefore(root, pAfter),
+      priceAfter = pAfter,
+      offerDaysToAdd = offerDaysToAdd(root),
+      ldName = ldN, ldBrand = ldB, ldProductId = ldP, ldImage = ldI,
+      breadcrumbs = breadcrumbs(root),
+      metroPriceBefore = metroPrice(root, "before"),
+      metroPriceAfter = metroPrice(root, "after"),
+      links = links(root))
+  }
+}

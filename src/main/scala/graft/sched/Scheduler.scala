@@ -1,0 +1,97 @@
+package graft.sched
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.politeness.Politeness
+
+/** The frontier drain (SURVEY.md §2.7 O1, §7 module 5).
+  *
+  * The reference drains its frontier strictly in file order on one thread
+  * (carrefour_extract_data.py:216). A parallel engine must reproduce that
+  * determinism while actually being parallel, so the crawl order is a pure
+  * function of the data — the priority key (host_rank, depth,
+  * discovered_seq, url_hash) — never of task timing. Verified invariant
+  * across local[N] in SchedulerSpec.
+  *
+  * Scale design:
+  *  - global numbering uses repartitionByRange + sortWithinPartitions +
+  *    per-partition offsets (two light jobs, no single-reducer window, no
+  *    RDD API) — each partition numbers its own sorted range independently;
+  *  - the fetch stage repartitions by SALTED host hash
+  *    (xxhash64(host, salt) % P) so one hot host (the synthetic corpus gives
+  *    host0 ~50% of URLs) spreads over `saltFactor` partitions instead of
+  *    pinning one executor, while per-host budgets keep politeness intact.
+  */
+object Scheduler {
+
+  /** Deterministic priority key, worst-first = never; lowest sorts first. */
+  val priorityColNames: Seq[String] = Seq("host_rank", "depth", "discovered_seq", "url_hash")
+
+  /** Assign a contiguous, parallelism-invariant global `crawl_order` by the
+    * given sort columns. Two jobs: (1) count rows per range partition,
+    * (2) number rows within each sorted range offset by the cumulative
+    * counts. Requires the sort key to be a total order (url_hash tiebreak
+    * guarantees it). */
+  def withCrawlOrder(df: DataFrame, sortCols: Seq[Column], numPartitions: Int): DataFrame = {
+    val ranged = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist()
+    val counts: Array[(Int, Long)] = ranged
+      .groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val offsets: Map[Int, Long] = {
+      val sorted = counts.sortBy(_._1)
+      var acc = 0L
+      sorted.map { case (pid, c) => val off = acc; acc += c; pid -> off }.toMap
+    }
+    val spark = df.sparkSession
+    val offsetsBc = spark.sparkContext.broadcast(offsets)
+    val outSchema = ranged.schema.add("crawl_order", LongType, nullable = false)
+    val result = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var i = offsetsBc.value.getOrElse(pid, 0L)
+      it.map { row =>
+        val out = Row.fromSeq(row.toSeq :+ i)
+        i += 1
+        out
+      }
+    }(Encoders.row(outSchema))
+    result
+  }
+
+  /** One scheduling round: robots filter -> per-host budget -> global crawl
+    * order over the rows scheduled this round. Deferred rows (over budget)
+    * are returned too, flagged `scheduled_now = false`, so the round driver
+    * re-enqueues them.
+    *
+    * Input must carry url_norm, url_hash, host, depth, host_rank,
+    * discovered_seq columns (FrontierEntry shape). */
+  def schedule(
+      frontier: DataFrame,
+      robots: DataFrame,
+      budgets: DataFrame,
+      defaultBudget: Int,
+      numPartitions: Int): (DataFrame, DataFrame) = {
+    val allowed = Politeness.applyRobots(frontier, robots)
+    val budgeted = Politeness.applyBudgets(allowed, budgets, defaultBudget)
+    val now = budgeted.filter(col("scheduled_now")).drop("scheduled_now")
+    val deferred = budgeted.filter(!col("scheduled_now")).drop("scheduled_now")
+    val ordered = withCrawlOrder(
+      now,
+      Seq(col("host_rank"), col("depth"), col("discovered_seq"), col("url_hash")),
+      numPartitions)
+    (ordered, deferred)
+  }
+
+  /** Salted repartition-by-host for the fetch/extract stage: a host's rows
+    * land on `saltFactor` partitions (not 1, not all), bounding both skew
+    * and the number of concurrent workers per host. */
+  def saltedByHost(df: DataFrame, numPartitions: Int, saltFactor: Int): DataFrame = {
+    val salt = pmod(col("url_hash"), lit(saltFactor))
+    df.repartition(numPartitions, col("host"), salt)
+      .sortWithinPartitions(priorityColNames.map(col): _*)
+  }
+}

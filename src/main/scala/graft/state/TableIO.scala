@@ -1,0 +1,135 @@
+package graft.state
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable
+
+/** Iceberg-shaped snapshot table over plain Parquet (SURVEY.md §7).
+  *
+  * No Iceberg jar ships in this sandbox, so the snapshot/resume semantics the
+  * north rule requires are provided by a minimal table format with the same
+  * guarantees Iceberg gives a crawler:
+  *
+  *   <root>/data/snap-<id>-<nonce>/part-*.parquet   immutable data dirs
+  *   <root>/snapshots/v<id>.json                    manifest: id, parent,
+  *                                                  data dirs, row count,
+  *                                                  lineage payload
+  *   <root>/snapshots/CURRENT                       pointer, atomic rename
+  *
+  * - append(df) writes a NEW data dir, then a manifest listing parent dirs +
+  *   the new one, then atomically swings CURRENT -> the new manifest. A
+  *   killed run leaves either the old CURRENT (data dir is orphaned garbage,
+  *   never referenced) or the new one (commit completed) — never a torn
+  *   table. Readers only ever see committed snapshots.
+  * - overwrite(df) starts a fresh lineage (new manifest referencing only the
+  *   new dir).
+  * - read() at a snapshot id = time travel; read() = CURRENT.
+  *
+  * Uses the Hadoop FileSystem API so the same code runs on HDFS/S3A on a
+  * real cluster (rename atomicity caveats on S3 are Iceberg's to solve; this
+  * sandbox and HDFS give atomic rename).
+  */
+final class SnapshotTable(spark: SparkSession, root: String) {
+
+  private val mapper = new ObjectMapper()
+  private val rootPath = new Path(root)
+  private val fs: FileSystem = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val snapsDir = new Path(rootPath, "snapshots")
+  private val dataDir = new Path(rootPath, "data")
+  private val currentPtr = new Path(snapsDir, "CURRENT")
+
+  final case class Snapshot(id: Int, parent: Int, dataDirs: Seq[String], rowCount: Long, lineageJson: String)
+
+  private def writeManifest(s: Snapshot): Path = {
+    fs.mkdirs(snapsDir)
+    val node = mapper.createObjectNode()
+    node.put("id", s.id)
+    node.put("parent", s.parent)
+    node.put("rowCount", s.rowCount)
+    val arr = node.putArray("dataDirs")
+    s.dataDirs.foreach(arr.add)
+    node.put("lineage", s.lineageJson)
+    val p = new Path(snapsDir, f"v${s.id}%06d.json")
+    val tmp = new Path(snapsDir, f".v${s.id}%06d.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writeValueAsBytes(node)); out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+    p
+  }
+
+  private def swingCurrent(id: Int): Unit = {
+    val tmp = new Path(snapsDir, ".CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    out.write(f"v$id%06d.json".getBytes("UTF-8")); out.close()
+    if (fs.exists(currentPtr)) fs.delete(currentPtr, false)
+    fs.rename(tmp, currentPtr) // atomic on HDFS/local
+  }
+
+  def currentSnapshot: Option[Snapshot] = {
+    if (!fs.exists(currentPtr)) return None
+    val in = fs.open(currentPtr)
+    val name = scala.io.Source.fromInputStream(in).mkString.trim
+    in.close()
+    readManifest(new Path(snapsDir, name))
+  }
+
+  private def readManifest(p: Path): Option[Snapshot] = {
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val node = mapper.readTree(in)
+    in.close()
+    val dirs = (0 until node.path("dataDirs").size()).map(i => node.path("dataDirs").get(i).asText())
+    Some(Snapshot(node.path("id").asInt(), node.path("parent").asInt(),
+      dirs, node.path("rowCount").asLong(), node.path("lineage").asText("")))
+  }
+
+  def snapshotAt(id: Int): Option[Snapshot] = readManifest(new Path(snapsDir, f"v$id%06d.json"))
+
+  private def nextId: Int = currentSnapshot.map(_.id + 1).getOrElse(1)
+
+  private def writeData(df: DataFrame, id: Int): (String, Long) = {
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dir = new Path(dataDir, f"snap-$id%06d-$nonce").toString
+    df.write.mode("errorifexists").parquet(dir)
+    val n = spark.read.parquet(dir).count()
+    (dir, n)
+  }
+
+  /** Append df as a new snapshot (previous data retained). Returns id. */
+  def append(df: DataFrame, lineageJson: String = ""): Int = {
+    val id = nextId
+    val parent = currentSnapshot.map(_.id).getOrElse(0)
+    val (dir, n) = writeData(df, id)
+    val parentDirs = currentSnapshot.map(_.dataDirs).getOrElse(Nil)
+    val total = currentSnapshot.map(_.rowCount).getOrElse(0L) + n
+    writeManifest(Snapshot(id, parent, parentDirs :+ dir, total, lineageJson))
+    swingCurrent(id)
+    id
+  }
+
+  /** Replace table contents (new lineage root). Returns id. */
+  def overwrite(df: DataFrame, lineageJson: String = ""): Int = {
+    val id = nextId
+    val parent = currentSnapshot.map(_.id).getOrElse(0)
+    val (dir, n) = writeData(df, id)
+    writeManifest(Snapshot(id, parent, Seq(dir), n, lineageJson))
+    swingCurrent(id)
+    id
+  }
+
+  def isEmpty: Boolean = currentSnapshot.isEmpty
+
+  /** Read CURRENT (None -> caller supplies empty). */
+  def read(): Option[DataFrame] =
+    currentSnapshot.flatMap(readSnapshot)
+
+  /** Time travel. */
+  def readAt(id: Int): Option[DataFrame] = snapshotAt(id).flatMap(readSnapshot)
+
+  private def readSnapshot(s: Snapshot): Option[DataFrame] =
+    if (s.dataDirs.isEmpty) None
+    else Some(spark.read.parquet(s.dataDirs: _*))
+}
