@@ -163,10 +163,14 @@ final class CrawlEngine(
       .drop("__rn", "crawl_order")
     val products = Extractors.explodeBarcodes(dedupedProducts)
 
-    // O4/O5: misses -> retry or quarantine
-    val missed = scheduled.join(
-      pagesKeyed.select(col("url_key")).distinct(),
-      col("url_key") === col("url_norm"), "left_anti")
+    // O4/O5: misses -> retry or quarantine. Only SUCCESSFUL fetches become
+    // "seen" (reference: failures stay is_processed=False and re-enter,
+    // carrefour_extract_data.py:198-203).
+    val pageKeys = pagesKeyed.select(col("url_key")).distinct()
+    val missed = scheduled.join(pageKeys, col("url_key") === col("url_norm"), "left_anti")
+    val fetchedHashes = scheduled
+      .join(pageKeys, col("url_key") === col("url_norm"), "left_semi")
+      .select(col("url_hash"))
     val retry = missed.filter(col("attempt") + 1 < maxAttempts)
       .withColumn("attempt", col("attempt") + 1)
       .select(frontierCols: _*)
@@ -194,11 +198,10 @@ final class CrawlEngine(
       .withColumn("attempt", lit(0))
       .select(frontierCols: _*)
 
-    // next frontier = deferred ∪ retries ∪ new links (minus just-seen)
-    val justSeen = scheduled.select(col("url_hash"))
+    // next frontier = deferred ∪ retries ∪ new links (minus just-fetched)
     val nextFrontier = deferred.select(frontierCols: _*)
       .unionByName(retry)
-      .unionByName(newEntries.join(justSeen, Seq("url_hash"), "left_anti").select(frontierCols: _*))
+      .unionByName(newEntries.join(fetchedHashes, Seq("url_hash"), "left_anti").select(frontierCols: _*))
 
     // per-partition lineage/metrics for this round
     val lineage = scheduled
@@ -211,7 +214,7 @@ final class CrawlEngine(
 
     // --- commit: tables first, checkpoint last (atomic resume point) ---
     val fTid = frontierTable.overwrite(nextFrontier)
-    val sTid = seenTable.append(justSeen)
+    val sTid = seenTable.append(fetchedHashes)
     val pTid = productsTable.append(products)
     val qTid = quarantineTable.append(quarantined)
     val schedTid = scheduleTable.append(
@@ -221,6 +224,9 @@ final class CrawlEngine(
     writeCheckpoint(Checkpoint(round, fTid, sTid, pTid, qTid, schedTid, lTid,
       ckpt.scheduledTotal + scheduledCount))
     scheduled.unpersist()
+    // release the range-partitioned intermediate withCrawlOrder cached; the
+    // round commit is a barrier, nothing else is cached by the engine
+    spark.catalog.clearCache()
     scheduledCount
   }
 
