@@ -1,0 +1,798 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.extract.Extractors
+import graft.gen.Synthetic
+import graft.sched.Scheduler
+import graft.seen.UrlSeen
+import graft.url.UrlCanon
+
+/** The driver-facing query catalog: one entry per implemented operator
+  * (SURVEY.md §2) plus the large-scale training-data-pipeline operators
+  * (dedup family, similarity search, text analysis, multimodal plumbing).
+  *
+  * Every SQL-expressible query has a DuckDB oracle in [[oracles]] with
+  * IDENTICAL output column names and aligned types (integer outputs
+  * preferred; floats quantized via floor so cross-engine comparison is
+  * exact). Crawl-specific operators that SQL cannot express (full RFC-3986
+  * UDF canon, the HTML kernel, engine rounds) appear without an oracle —
+  * the driver records a rows-only check; their exactness is covered by the
+  * ScalaTest oracle suites instead.
+  */
+object GraftQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic messy frontier URL synthesized from documents — mixed
+    * case, default port, fragments, unsorted query — the canonicalizer's
+    * input. Same formula in SQL below. */
+  private def messyUrl: Column =
+    concat(
+      lit("https://Shop"), (col("doc_id") % 7).cast("string"),
+      lit(".Example.COM:443/en/item-"), col("doc_id").cast("string"),
+      lit("/p/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0, lit("#frag"))
+        .when(col("doc_id") % 3 === 1, lit("?b=2&a=1"))
+        .otherwise(lit("")))
+
+  private val messyUrlSql =
+    "'https://Shop' || (doc_id % 7) || '.Example.COM:443/en/item-' || doc_id || '/p/' || doc_id || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '#frag' WHEN doc_id % 3 = 1 THEN '?b=2&a=1' ELSE '' END"
+
+  // ======================================================================
+  // §2.1/2.3 — sources, scans, filters
+  // ======================================================================
+
+  /** S1/F1 — frontier pending scan: keep rows whose processed flag is falsy
+    * (helpers.py:104-117). */
+  private def qFrontierPending(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("url", messyUrl)
+      .withColumn("is_processed", col("doc_id") % 8 === 0)
+      .filter(!coalesce(col("is_processed"), lit(false)))
+      .select(col("doc_id"), col("url"), col("source").as("category"))
+
+  private val qFrontierPendingSql =
+    s"""SELECT doc_id, $messyUrlSql AS url, source AS category
+       |FROM documents WHERE NOT coalesce(doc_id % 8 = 0, false)""".stripMargin
+
+  /** P12 — language-variant URL rewrite (helpers.py:23-24, metro:83-88). */
+  private def qLangRewrite(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("url", messyUrl)
+      .select(col("doc_id"), UrlCanon.toArabicUrl(col("url")).as("url_ar"))
+
+  private val qLangRewriteSql =
+    s"""SELECT doc_id, CASE
+       |  WHEN contains($messyUrlSql, '/en/') THEN replace($messyUrlSql, '/en/', '/ar/')
+       |  ELSE $messyUrlSql END AS url_ar
+       |FROM documents""".stripMargin
+
+  /** P13 — Carrefour category-URL canonicalization
+    * (carrefour_extract_urls.py:43-54). */
+  private def qCategoryCanon(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("curl",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("https://x.com/mafegy/en/c/"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("https://x.com/mafegy/en/deals/clp_promo"), col("doc_id").cast("string"))))
+      .select(col("doc_id"), UrlCanon.canonCategoryUrl(col("curl")).as("url_canon"))
+
+  private val qCategoryCanonSql =
+    """SELECT doc_id, CASE
+      |  WHEN regexp_matches(curl, '.*/c/.*\d+') THEN curl
+      |  ELSE regexp_replace(curl, '^(.*/en)/.*?/clp_(.*\d)$', '\1/c/\2')
+      |  END AS url_canon
+      |FROM (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+      |  THEN 'https://x.com/mafegy/en/c/' || doc_id
+      |  ELSE 'https://x.com/mafegy/en/deals/clp_promo' || doc_id END AS curl
+      |FROM documents)""".stripMargin
+
+  /** URL canonicalization (builtin-Column subset): lowercase scheme/host,
+    * strip default port, drop fragment + lone '?', host + depth derivation. */
+  private def qUrlCanonLight(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("url", messyUrl)
+      .select(col("doc_id"),
+        UrlCanon.canonLight(col("url")).as("url_canon"),
+        UrlCanon.hostCol(UrlCanon.canonLight(col("url"))).as("host"),
+        UrlCanon.depthCol(UrlCanon.canonLight(col("url"))).as("depth"))
+
+  private val qUrlCanonLightSql =
+    """SELECT doc_id,
+      |  'https://shop' || (doc_id % 7) || '.example.com/en/item-' || doc_id || '/p/' || doc_id ||
+      |    CASE WHEN doc_id % 3 = 1 THEN '?b=2&a=1' ELSE '' END AS url_canon,
+      |  'shop' || (doc_id % 7) || '.example.com' AS host,
+      |  CAST(4 AS INTEGER) AS depth
+      |FROM documents""".stripMargin
+
+  /** P14 — relative->absolute href resolution (metro:56-72, oscar:33-39). */
+  private def qAbsolutize(s: SparkSession, dir: String): DataFrame = {
+    val href = when(col("doc_id") % 3 === 0, concat(lit("https://abs.example.com/p/"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 3 === 1, concat(lit("/show_product/"), col("doc_id").cast("string")))
+      .otherwise(lit(null).cast("string"))
+    t(s, dir, "documents")
+      .withColumn("href", href)
+      .select(col("doc_id"),
+        UrlCanon.absolutize(col("href"), "https://www.oscarstores.com").as("abs_url"))
+      .filter(col("abs_url").contains("show_product") || col("abs_url") =!= "N/A")
+  }
+
+  private val qAbsolutizeSql =
+    """SELECT doc_id, abs_url FROM (
+      |  SELECT doc_id, CASE
+      |    WHEN href IS NULL THEN 'N/A'
+      |    WHEN starts_with(href, '/') THEN 'https://www.oscarstores.com' || href
+      |    ELSE href END AS abs_url
+      |  FROM (SELECT doc_id, CASE
+      |    WHEN doc_id % 3 = 0 THEN 'https://abs.example.com/p/' || doc_id
+      |    WHEN doc_id % 3 = 1 THEN '/show_product/' || doc_id
+      |    ELSE NULL END AS href FROM documents)
+      |) WHERE contains(abs_url, 'show_product') OR abs_url <> 'N/A'""".stripMargin
+
+  /** P20-analog — nested JSON pluck with null-safe default (the GraphQL
+    * `.get()` chains, seoudi:285-328): events.props is a JSON string. */
+  private def qJsonPluck(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id") % 10 === 0)
+      .select(col("event_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L)).as("k"),
+        coalesce(get_json_object(col("props"), "$.missing.deep"), lit("absent")).as("deep"))
+
+  private val qJsonPluckSql =
+    """SELECT event_id,
+      |  coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
+      |  coalesce(json_extract_string(props, '$.missing.deep'), 'absent') AS deep
+      |FROM events WHERE event_id % 10 = 0""".stripMargin
+
+  // ======================================================================
+  // §2.4 — joins
+  // ======================================================================
+
+  /** J4/A2 — URL-seen anti-join via the two-stage Bloom gate (identity:
+    * equals plain LEFT ANTI). Seen = every 5th doc's url. */
+  private def qSeenAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val frontier = t(s, dir, "documents")
+      .withColumn("url", messyUrl)
+      .withColumn("url_hash", xxhash64(col("url")))
+      .select("doc_id", "url", "url_hash")
+    val seen = frontier.filter(col("doc_id") % 5 === 0).select("url_hash")
+    UrlSeen.antiJoin(frontier, seen, "url_hash", expectedSeen = 20000, fpp = 0.03)
+      .select(col("doc_id"), col("url"))
+  }
+
+  private val qSeenAntiJoinSql =
+    s"""SELECT doc_id, $messyUrlSql AS url FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** J2 — broadcast dimension join with normalized key (spinneys brand
+    * lookup, :396-403,445): lineitem ⋈ part, brand key lowercased/despaced,
+    * missing -> ''. */
+  private def qBroadcastDim(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 50 === 0)
+    val part = t(s, dir, "part")
+      .select(col("p_partkey"), Extractors.brandKey(col("p_brand")).as("brand_key"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"), "left_outer")
+      .select(col("l_orderkey"), col("l_partkey"),
+        coalesce(col("brand_key"), lit("")).as("brand_key"))
+  }
+
+  private val qBroadcastDimSql =
+    """SELECT l_orderkey, l_partkey,
+      |  coalesce(lower(replace(p_brand, ' ', '')), '') AS brand_key
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |WHERE l_orderkey % 50 = 0""".stripMargin
+
+  /** J1 — EN⋈AR merge shape: two per-key variant rows collapsed into one
+    * (carrefour:129-153). Here: per user, merge the click-variant and
+    * view-variant aggregates into one row; missing side -> sentinel -1. */
+  private def qVariantMerge(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(floor(min(when(col("event_type") === "click", col("value"))) * 1000), lit(-1L)).as("click_v"),
+        coalesce(floor(min(when(col("event_type") === "view", col("value"))) * 1000), lit(-1L)).as("view_v"))
+
+  private val qVariantMergeSql =
+    """SELECT user_id,
+      |  coalesce(CAST(floor(min(CASE WHEN event_type = 'click' THEN value END) * 1000) AS BIGINT), -1) AS click_v,
+      |  coalesce(CAST(floor(min(CASE WHEN event_type = 'view' THEN value END) * 1000) AS BIGINT), -1) AS view_v
+      |FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id""".stripMargin
+
+  // ======================================================================
+  // §2.5/2.6 — aggregation / dedup / explode
+  // ======================================================================
+
+  /** A1/F3 — first-wins dedup (barcode gate, seoudi:359-361): per user_id
+    * keep the earliest event by (ts, event_id). */
+  private def qDedupFirstWins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"))
+  }
+
+  private val qDedupFirstWinsSql =
+    """SELECT user_id, event_id FROM (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  /** A6 — last-wins dimension upsert (brand dict build, spinneys:396-403):
+    * per brand keep the name of the max partkey. */
+  private def qLastWinsUpsert(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(Extractors.brandKey(col("p_brand")).as("brand_key"))
+      .agg(max_by(col("p_name"), col("p_partkey")).as("latest_name"),
+        count(lit(1)).as("n"))
+
+  private val qLastWinsUpsertSql =
+    """SELECT lower(replace(p_brand, ' ', '')) AS brand_key,
+      |  arg_max(p_name, p_partkey) AS latest_name,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM part GROUP BY 1""".stripMargin
+
+  /** G1 — split+explode (barcode rows, seoudi:404-445): one row per token
+    * of the first 40 docs. */
+  private def qExplodeSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+
+  private val qExplodeSplitSql =
+    """SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE doc_id < 40) GROUP BY doc_id, token""".stripMargin
+
+  /** A5 — union with provenance (two frontiers merged, spinneys deals
+    * :557-776). */
+  private def qUnionProvenance(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("key"), lit("catalog").as("provenance"))
+    val b = t(s, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("event_id").as("key"), lit("deals").as("provenance"))
+    a.unionByName(b)
+  }
+
+  private val qUnionProvenanceSql =
+    """SELECT o_orderkey AS key, 'catalog' AS provenance FROM orders WHERE o_orderpriority = '1-URGENT'
+      |UNION ALL
+      |SELECT event_id AS key, 'deals' AS provenance FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  // ======================================================================
+  // §2.7 — ordering / scheduling / politeness / retry
+  // ======================================================================
+
+  /** O1 — deterministic global crawl order via the scalable two-pass
+    * numbering (Scheduler.withCrawlOrder), checked against a plain SQL
+    * global window. */
+  private def qCrawlOrder(s: SparkSession, dir: String): DataFrame = {
+    val clicks = t(s, dir, "events").filter(col("event_type") === "click")
+    Scheduler.withCrawlOrder(clicks, Seq(col("ts"), col("event_id")), 8)
+      .select(col("crawl_order"), col("event_id"))
+  }
+
+  private val qCrawlOrderSql =
+    """SELECT CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS crawl_order,
+      |  event_id
+      |FROM events WHERE event_type = 'click'""".stripMargin
+
+  /** O2 — per-host politeness budget: top-100 per host by priority
+    * (metro 1s/page pacing as a quota). Host = event_type. */
+  private def qHostBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100)
+      .select(col("event_type").as("host"), col("event_id"), col("rn").cast("long").as("rank_in_host"))
+  }
+
+  private val qHostBudgetSql =
+    """SELECT event_type AS host, event_id, CAST(rn AS BIGINT) AS rank_in_host FROM (
+      |  SELECT event_type, event_id,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn <= 100""".stripMargin
+
+  /** F2 — resume skip-until-cursor (seoudi:185-196): skip the first 1000 of
+    * the deterministic crawl order. */
+  private def qResumeSkip(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1000)
+      .select(col("event_id"))
+  }
+
+  private val qResumeSkipSql =
+    """SELECT event_id FROM (
+      |  SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn > 1000""".stripMargin
+
+  /** O4 — retry/backoff round bookkeeping: attempts joined to quarantine
+    * condition attempt >= 5 (seoudi:17-18,38-46). */
+  private def qRetryQuarantine(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("attempt", (col("doc_id") % 7).cast("int"))
+      .withColumn("state",
+        when(col("attempt") >= 5, lit("quarantined"))
+          .when(col("attempt") > 0, lit("retrying"))
+          .otherwise(lit("fresh")))
+      .groupBy("state").agg(count(lit(1)).as("n"))
+
+  private val qRetryQuarantineSql =
+    """SELECT state, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT CASE WHEN doc_id % 7 >= 5 THEN 'quarantined'
+      |              WHEN doc_id % 7 > 0 THEN 'retrying'
+      |              ELSE 'fresh' END AS state
+      |  FROM documents) GROUP BY state""".stripMargin
+
+  // ======================================================================
+  // Training-data pipeline operators (first-class per the brief)
+  // ======================================================================
+
+  /** Exact dedup by content hash: md5(text) groups; keeper = min doc_id
+    * (first-wins under the deterministic order). */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_dups"))
+
+  private val qDedupExactSql =
+    """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id,
+      |  CAST(count(*) AS BIGINT) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fingerprint"))
+
+  private val qFingerprintSql =
+    """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (letters / digits / single punctuation). */
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"))
+
+  private val qTokenCountSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
+      |FROM documents""".stripMargin
+
+  /** Language ID (n-gram/stopword heuristic): per-language stopword hit
+    * counts over tokens; argmax wins, 'und' when nothing hits. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val tokens = split(lower(col("text")), "\\s+")
+    def hits(words: Seq[String]): Column =
+      size(filter(tokens, tk => words.map(w => tk === lit(w)).reduce(_ || _)))
+    val en = hits(Seq("the", "a", "of", "and", "is"))
+    val es = hits(Seq("el", "la", "de", "que", "y"))
+    val de = hits(Seq("der", "die", "und", "das", "ist"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
+        when(en >= es && en >= de && en > 0, lit("en"))
+          .when(es >= de && es > 0, lit("es"))
+          .when(de > 0, lit("de"))
+          .otherwise(lit("und")).as("predicted"))
+  }
+
+  private val qLangIdSql =
+    """SELECT doc_id, en_hits, es_hits, de_hits,
+      |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+      |       WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+      |       WHEN de_hits > 0 THEN 'de'
+      |       ELSE 'und' END AS predicted
+      |FROM (SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), tk -> list_contains(['the','a','of','and','is'], tk))) AS INTEGER) AS en_hits,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), tk -> list_contains(['el','la','de','que','y'], tk))) AS INTEGER) AS es_hits,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), tk -> list_contains(['der','die','und','das','ist'], tk))) AS INTEGER) AS de_hits
+      |FROM documents)""".stripMargin
+
+  /** Quality scoring: integer-quantized length/punct/stopword ratios and a
+    * composite keep/drop signal (floor-quantized so both engines agree
+    * bit-for-bit). */
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val tokens = split(col("text"), "\\s+")
+    val nTok = size(tokens).cast("double")
+    val meanLenMilli = floor(length(regexp_replace(col("text"), "\\s+", "")) / nTok * 1000)
+    val stopHits = size(filter(tokens, tk =>
+      Seq("the", "a", "and", "of").map(w => tk === lit(w)).reduce(_ || _))).cast("double")
+    val stopMilli = floor(stopHits / nTok * 1000)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(tokens).as("n_tokens"),
+        meanLenMilli.as("mean_word_len_milli"),
+        stopMilli.as("stopword_ratio_milli"),
+        (length(col("text")) >= 100 && stopMilli > 0).as("keep"))
+  }
+
+  private val qQualityScoreSql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+      |  CAST(floor(length(regexp_replace(text, '\s+', '', 'g')) * 1000.0 / len(string_split_regex(text, '\s+'))) AS BIGINT) AS mean_word_len_milli,
+      |  CAST(floor(len(list_filter(string_split_regex(text, '\s+'), tk -> list_contains(['the','a','and','of'], tk))) * 1000.0 / len(string_split_regex(text, '\s+'))) AS BIGINT) AS stopword_ratio_milli,
+      |  (length(text) >= 100 AND floor(len(list_filter(string_split_regex(text, '\s+'), tk -> list_contains(['the','a','and','of'], tk))) * 1000.0 / len(string_split_regex(text, '\s+'))) > 0) AS keep
+      |FROM documents""".stripMargin
+
+  /** MinHash signature (8 hashes): per doc, min over distinct tokens of
+    * md5(i || '_' || token) — lexicographic min of hex = a valid minhash;
+    * md5 exists identically in both engines. */
+  private def minhashCols: Seq[Column] =
+    (0 until 8).map(i => min(md5(concat(lit(s"${i}_"), col("token")).cast("binary"))).as(s"h$i"))
+
+  private def qMinhashSig(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("doc_id")
+      .agg(minhashCols.head, minhashCols.tail: _*)
+
+  private val qMinhashSigSql = {
+    val mins = (0 until 8).map(i => s"min(md5('${i}_' || token)) AS h$i").mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $mins
+       |FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  /** MinHash-LSH candidate pairs: 4 bands of 2 hashes; docs sharing any
+    * band key are near-dup candidates. */
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = qMinhashSig(s, dir)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  private val qMinhashLshSql = {
+    val mins = (0 until 8).map(i => s"min(md5('${i}_' || token)) AS h$i").mkString(", ")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS key FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sig AS (
+       |  SELECT doc_id, $mins
+       |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** n-gram Jaccard near-dup: token-trigram sets, pairwise Jaccard (milli,
+    * floor-quantized) over pairs within the same source partition. */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tris = docs
+      .select(col("doc_id"), col("source"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("tri", concat_ws(" ", col("tok"), lead("tok", 1).over(w), lead("tok", 2).over(w)))
+      .filter(size(split(col("tri"), " ")) === 3)
+      .select(col("doc_id"), col("source"), col("tri")).distinct()
+    val sizes = tris.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = tris.as("x").join(tris.as("y"),
+        col("x.tri") === col("y.tri") && col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sa"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sb"), "b_id")
+      .withColumn("jaccard_milli", floor(col("inter") * 1000.0 / (col("sa") + col("sb") - col("inter"))))
+      .filter(col("jaccard_milli") >= 50)
+      .select(col("a_id"), col("b_id"), col("jaccard_milli"))
+  }
+
+  private val qNgramJaccardSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |tris AS (
+      |  SELECT DISTINCT doc_id, source, tri FROM (
+      |    SELECT doc_id, source,
+      |      tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS tri
+      |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |  WHERE tri IS NOT NULL AND len(string_split(tri, ' ')) = 3),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM tris GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+      |  FROM tris x JOIN tris y ON x.tri = y.tri AND x.source = y.source AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |  CAST(floor(inter * 1000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_milli
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = a_id
+      |JOIN sizes sb ON sb.doc_id = b_id
+      |WHERE floor(inter * 1000.0 / (sa.sz + sb.sz - inter)) >= 50""".stripMargin
+
+  /** SimHash (16-bit, md5-nibble-derived so both engines agree exactly;
+    * the 64-bit production variant is the same construction over 16 hex
+    * chars — see SimHash.scala for the native implementation). */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .withColumn("h4", substring(md5(col("token").cast("binary")), 1, 4))
+    // nibble value of hex char c = strpos('0123456789abcdef', c) - 1
+    def nib(i: Int): Column =
+      (position(substring(col("h4"), i + 1, 1), lit("0123456789abcdef")) - 1).cast("long")
+    val withBits = (0 until 16).foldLeft(toks) { (df, bit) =>
+      val nibble = nib(bit / 4)
+      val bitInNib = 3 - (bit % 4) // hex char's high bit first
+      val b = floor(nibble / lit((1L << bitInNib).toDouble)).cast("long") % 2
+      df.withColumn(s"b$bit", b * 2 - 1) // +1 / -1 vote
+    }
+    val agg = withBits.groupBy("doc_id")
+      .agg((0 until 16).map(bit => sum(col(s"b$bit")).as(s"s$bit")).head,
+        (0 until 16).map(bit => sum(col(s"b$bit")).as(s"s$bit")).tail: _*)
+    val sim = (0 until 16).map(bit =>
+      when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash16"))
+  }
+
+  private val qSimhashSql = {
+    val bitExprs = (0 until 16).map { bit =>
+      val nibIdx = bit / 4 + 1
+      val bitInNib = 3 - (bit % 4)
+      s"(CAST(floor((strpos('0123456789abcdef', substr(h4, $nibIdx, 1)) - 1) / ${1 << bitInNib}) AS BIGINT) % 2) * 2 - 1 AS b$bit"
+    }.mkString(",\n    ")
+    val sums = (0 until 16).map(b => s"sum(b$b) AS s$b").mkString(", ")
+    val simExpr = (0 until 16).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitExprs
+       |  FROM (SELECT doc_id, substr(md5(token), 1, 4) AS h4 FROM toks)),
+       |agg AS (SELECT doc_id, $sums FROM bits GROUP BY doc_id)
+       |SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash16 FROM agg""".stripMargin
+  }
+
+  /** Brute-force inner-product top-k ANN (integer-quantized embeddings ->
+    * exact cross-engine arithmetic; the float path is the same plan minus
+    * the quantization). Query = vec 0. */
+  private def quantized(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+
+  private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val query = emb.filter(col("vec_id") === 0).select(col("q").as("qv"))
+    val dots = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("q"), col("qv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("dot"))
+    val w = Window.orderBy(col("dot").desc, col("vec_id"))
+    dots.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("vec_id"), col("dot"))
+  }
+
+  private val qAnnTopKSql =
+    """WITH ev AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
+      |    generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |q AS (SELECT pos, x AS qx FROM ev WHERE vec_id = 0),
+      |d AS (
+      |  SELECT ev.vec_id, CAST(sum(ev.x * q.qx) AS BIGINT) AS dot
+      |  FROM ev JOIN q USING (pos) WHERE ev.vec_id <> 0 GROUP BY ev.vec_id)
+      |SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rank, vec_id, dot
+      |FROM d ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin
+
+  /** IVF assignment (the scale path for ANN): centroids = first 8 vectors;
+    * every vector assigned to its nearest centroid by exact quantized L2². */
+  private def qAnnIvfAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cq"))
+    val dists = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        aggregate(zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("centroid_id"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("d2"))
+  }
+
+  private val qAnnIvfAssignSql =
+    """WITH ev AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
+      |    generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS centroid_id, pos, x AS cx FROM ev WHERE vec_id < 8),
+      |d AS (
+      |  SELECT ev.vec_id, c.centroid_id, CAST(sum((ev.x - c.cx) * (ev.x - c.cx)) AS BIGINT) AS d2
+      |  FROM ev JOIN c USING (pos) GROUP BY ev.vec_id, c.centroid_id)
+      |SELECT vec_id, centroid_id, d2 FROM (
+      |  SELECT vec_id, centroid_id, d2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+      |  FROM d) WHERE rn = 1""".stripMargin
+
+  /** Multimodal plumbing: binary payload column with typed metadata; the
+    * decode step is a deterministic stub (no image libs in sandbox — the
+    * Spark-side schema/partitioning/batching is the real part, see
+    * graft.multimodal). Metadata here: byte length + content hash. */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("content_hash"))
+
+  private val qMultimodalMetaSql =
+    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+      |  md5(text) AS content_hash
+      |FROM documents""".stripMargin
+
+  // ======================================================================
+  // Classic relational headliners (bench comparability)
+  // ======================================================================
+
+  /** Per-row quantization BEFORE the sum keeps the aggregate an exact
+    * integer in both engines (double sums are order-dependent and would
+    * disagree in the low bits across engines). */
+  private def qAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(floor(col("l_quantity") * 100)).as("sum_qty_c"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)).as("revenue_c"),
+        count(lit(1)).as("n"))
+
+  private val qAggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  private def qJoin3(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    c.filter(col("c_mktsegment") === "BUILDING")
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)).as("revenue_c"))
+      .filter(col("revenue_c") > 0)
+  }
+
+  private val qJoin3Sql =
+    """SELECT o_orderkey,
+      |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |HAVING sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) > 0""".stripMargin
+
+  // ======================================================================
+  // Non-SQL-expressible operators (rows-only checks; exactness covered by
+  // the ScalaTest oracle suites)
+  // ======================================================================
+
+  /** Full RFC-3986 canonicalization UDF over messy urls. */
+  private def qUrlCanonFull(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("url", messyUrl)
+      .select(col("doc_id"), UrlCanon.canonUdf(col("url")).as("url_canon"),
+        UrlCanon.hostUdf(UrlCanon.canonUdf(col("url"))).as("host"))
+
+  /** HTML extraction kernel + EN⋈AR pivot + 34-col Product projection over
+    * a deterministic synthetic pages corpus (P1-P23, J1). */
+  private def qExtractProducts(s: SparkSession, dir: String): DataFrame = {
+    val pages = Synthetic.pages(s, 200, 8).toDF()
+      .withColumn("url_norm",
+        UrlCanon.canonUdf(regexp_replace(col("url"), "/ar/", "/en/")))
+    val withFields = Extractors.withPageFields(pages)
+    val pivoted = Extractors.pivotLangs(withFields, "url_norm")
+      .withColumn("url_en", coalesce(col("url_en"), col("url_norm")))
+    Extractors.carrefourProduct(pivoted, "2024-11-10")
+  }
+
+  /** One full engine scheduling pass over the synthetic frontier. */
+  private def qCrawlSchedule(s: SparkSession, dir: String): DataFrame = {
+    val f = Synthetic.frontier(s, 2000, 8).toDF().filter(!col("is_processed"))
+      .dropDuplicates("url_hash")
+    val (now, _) = Scheduler.schedule(
+      f, Synthetic.robots(s).toDF(), Synthetic.budgets(s, 200).toDF(),
+      defaultBudget = 200, numPartitions = 8)
+    now.select("crawl_order", "url_norm", "host")
+  }
+
+  // ======================================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_frontier_pending" -> (qFrontierPending _),
+    "q_lang_rewrite" -> (qLangRewrite _),
+    "q_category_canon" -> (qCategoryCanon _),
+    "q_url_canon_light" -> (qUrlCanonLight _),
+    "q_absolutize" -> (qAbsolutize _),
+    "q_json_pluck" -> (qJsonPluck _),
+    "q_seen_antijoin" -> (qSeenAntiJoin _),
+    "q_broadcast_dim" -> (qBroadcastDim _),
+    "q_variant_merge" -> (qVariantMerge _),
+    "q_dedup_first_wins" -> (qDedupFirstWins _),
+    "q_last_wins_upsert" -> (qLastWinsUpsert _),
+    "q_explode_split" -> (qExplodeSplit _),
+    "q_union_provenance" -> (qUnionProvenance _),
+    "q_crawl_order" -> (qCrawlOrder _),
+    "q_host_budget" -> (qHostBudget _),
+    "q_resume_skip" -> (qResumeSkip _),
+    "q_retry_quarantine" -> (qRetryQuarantine _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_token_count" -> (qTokenCount _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_minhash_sig" -> (qMinhashSig _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_simhash" -> (qSimhash _),
+    "q_ann_topk" -> (qAnnTopK _),
+    "q_ann_ivf_assign" -> (qAnnIvfAssign _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_agg" -> (qAgg _),
+    "q_join3" -> (qJoin3 _),
+    "q_url_canon_full" -> (qUrlCanonFull _),
+    "q_extract_products" -> (qExtractProducts _),
+    "q_crawl_schedule" -> (qCrawlSchedule _))
+
+  val oracles: Map[String, String] = Map(
+    "q_frontier_pending" -> qFrontierPendingSql,
+    "q_lang_rewrite" -> qLangRewriteSql,
+    "q_category_canon" -> qCategoryCanonSql,
+    "q_url_canon_light" -> qUrlCanonLightSql,
+    "q_absolutize" -> qAbsolutizeSql,
+    "q_json_pluck" -> qJsonPluckSql,
+    "q_seen_antijoin" -> qSeenAntiJoinSql,
+    "q_broadcast_dim" -> qBroadcastDimSql,
+    "q_variant_merge" -> qVariantMergeSql,
+    "q_dedup_first_wins" -> qDedupFirstWinsSql,
+    "q_last_wins_upsert" -> qLastWinsUpsertSql,
+    "q_explode_split" -> qExplodeSplitSql,
+    "q_union_provenance" -> qUnionProvenanceSql,
+    "q_crawl_order" -> qCrawlOrderSql,
+    "q_host_budget" -> qHostBudgetSql,
+    "q_resume_skip" -> qResumeSkipSql,
+    "q_retry_quarantine" -> qRetryQuarantineSql,
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_fingerprint" -> qFingerprintSql,
+    "q_token_count" -> qTokenCountSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_quality_score" -> qQualityScoreSql,
+    "q_minhash_sig" -> qMinhashSigSql,
+    "q_minhash_lsh" -> qMinhashLshSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_simhash" -> qSimhashSql,
+    "q_ann_topk" -> qAnnTopKSql,
+    "q_ann_ivf_assign" -> qAnnIvfAssignSql,
+    "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_agg" -> qAggSql,
+    "q_join3" -> qJoin3Sql)
+}

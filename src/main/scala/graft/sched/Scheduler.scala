@@ -1,6 +1,5 @@
 package graft.sched
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -33,14 +32,23 @@ object Scheduler {
     * given sort columns. Two jobs: (1) count rows per range partition,
     * (2) number rows within each sorted range offset by the cumulative
     * counts. Requires the sort key to be a total order (url_hash tiebreak
-    * guarantees it). */
+    * guarantees it).
+    *
+    * The range-partition id is MATERIALIZED into the cached rows (`__pid`)
+    * rather than read from TaskContext at numbering time: a downstream
+    * `coalesce` (e.g. before a single-file write) merges several range
+    * partitions into one task, where TaskContext.getPartitionId would lie;
+    * the per-parent-partition mapPartitions invocation still sees one
+    * consistent `__pid` per iterator, so the offsets stay correct under any
+    * physical re-packing. */
   def withCrawlOrder(df: DataFrame, sortCols: Seq[Column], numPartitions: Int): DataFrame = {
     val ranged = df
       .repartitionByRange(numPartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .persist()
+      .withColumn("__pid", spark_partition_id())
+      .persist() // materialized by the counts job below, with correct pids
     val counts: Array[(Int, Long)] = ranged
-      .groupBy(spark_partition_id().as("__pid")).count()
+      .groupBy(col("__pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val offsets: Map[Int, Long] = {
       val sorted = counts.sortBy(_._1)
@@ -49,17 +57,23 @@ object Scheduler {
     }
     val spark = df.sparkSession
     val offsetsBc = spark.sparkContext.broadcast(offsets)
-    val outSchema = ranged.schema.add("crawl_order", LongType, nullable = false)
-    val result = ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var i = offsetsBc.value.getOrElse(pid, 0L)
-      it.map { row =>
-        val out = Row.fromSeq(row.toSeq :+ i)
-        i += 1
-        out
+    val pidIdx = ranged.schema.fieldIndex("__pid")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields.filterNot(_.name == "__pid"))
+      .add("crawl_order", LongType, nullable = false)
+    ranged.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val buf = it.buffered
+        var i = offsetsBc.value.getOrElse(buf.head.getInt(pidIdx), 0L)
+        buf.map { row =>
+          val vals = row.toSeq
+          val out = Row.fromSeq(vals.patch(pidIdx, Nil, 1) :+ i)
+          i += 1
+          out
+        }
       }
     }(Encoders.row(outSchema))
-    result
   }
 
   /** One scheduling round: robots filter -> per-host budget -> global crawl
