@@ -1,24 +1,142 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract: ONE JSON line on stdout).
+  *
+  * Two parts:
+  *  1. Operator-query timings at local[32] over SPARK_GRAFT_SF_DIR.
+  *  2. The north-rule scaling evidence: the SAME full scheduling round
+  *     (canonicalize -> dedup -> Bloom seen gate -> robots -> salted
+  *     two-phase politeness budget -> deterministic global crawl order)
+  *     over the SAME synthetic frontier at local[8] and local[32];
+  *     reported as URLs scheduled+deduped/sec at both parallelism levels
+  *     plus scaling efficiency = thr(32) / (4 * thr(8)). No real cluster
+  *     exists in this sandbox — two local parallelism levels are the
+  *     sanctioned proxy (BASELINE.md).
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def scheduleRoundPublic(spark: SparkSession, frontierPath: String, cpus: Int): Long =
+    scheduleRound(spark, frontierPath, cpus)
+
+  /** One full scheduling round over a raw frontier parquet; returns the
+    * scheduled count (forces execution). */
+  private def scheduleRound(spark: SparkSession, frontierPath: String, cpus: Int): Long = {
+    import graft.seen.UrlSeen
+    import graft.sched.Scheduler
+    import graft.url.UrlCanon
+    import org.apache.spark.sql.expressions.Window
+
+    val raw = spark.read.parquet(frontierPath)
+    val enriched = raw
+      .withColumn("__cp", UrlCanon.canonPartsUdf(col("url")))
+      .withColumn("url_norm", col("__cp.url_norm"))
+      .withColumn("url_hash", xxhash64(col("url_norm")))
+      .withColumn("host", col("__cp.host"))
+      .withColumn("depth", col("__cp.depth"))
+      .drop("__cp")
+      .withColumn("host_rank", lit(0))
+      .withColumn("attempt", lit(0))
+    val pending = enriched.filter(!col("is_processed"))
+    val seen = enriched.filter(col("is_processed")).select("url_hash")
+    val dedupW = Window.partitionBy(col("url_hash")).orderBy(col("discovered_seq"))
+    val deduped = pending
+      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1).drop("__rn")
+    val seenCount = seen.count()
+    val unseen = UrlSeen.antiJoin(deduped, seen, "url_hash", seenCount, 0.03)
+    val (now, _) = Scheduler.schedule(
+      unseen,
+      graft.gen.Synthetic.robots(spark).toDF(),
+      graft.gen.Synthetic.budgets(spark, Int.MaxValue).toDF(),
+      defaultBudget = Int.MaxValue, numPartitions = cpus * 4)
+    val n = now.count()
+    spark.catalog.clearCache()
+    n
+  }
+
+  private def timeCrawl(cpus: Int, frontierPath: String, warmupPath: String): (Double, Long) = {
+    val spark = session(cpus)
+    try {
+      scheduleRound(spark, warmupPath, cpus) // JIT/codegen warmup
+      val t0 = System.nanoTime()
+      val n = scheduleRound(spark, frontierPath, cpus)
+      ((System.nanoTime() - t0) / 1e9, n)
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val frontierN = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRONTIER", "4000000").toLong
+    val benchDir = "/tmp/graft_bench"
+    val frontierPath = s"$benchDir/frontier"
+    val warmupPath = s"$benchDir/frontier_warmup"
+
+    // ---- prepare crawl-bench input once (not timed) ----
+    {
+      val s = session(32)
+      try {
+        import s.implicits._
+        def raw(n: Long, parts: Int): DataFrame =
+          s.range(0, n, 1, parts).mapPartitions { it =>
+            it.map { seqBoxed =>
+              val seq: Long = seqBoxed
+              val id: Long = if (seq % 11 == 10) seq - 1 else seq
+              (graft.gen.Synthetic.category(id), graft.gen.Synthetic.url(id, "en"),
+                (graft.gen.Synthetic.mix2(id, 19) & 7) == 0 && seq % 11 != 10, seq)
+            }
+          }.toDF("category", "url", "is_processed", "discovered_seq")
+        if (!new java.io.File(s"$frontierPath/_SUCCESS").exists()) {
+          raw(frontierN, 64).write.mode("overwrite").parquet(frontierPath)
+          raw(200000, 16).write.mode("overwrite").parquet(warmupPath)
+        }
+      } finally s.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- scaling evidence: same job, local[8] vs local[32] ----
+    val (t8, n8) = timeCrawl(8, frontierPath, warmupPath)
+    val (t32, n32) = timeCrawl(32, frontierPath, warmupPath)
+    val thr8 = frontierN / t8
+    val thr32 = frontierN / t32
+    val eff = thr32 / (4.0 * thr8)
+
+    // ---- operator-query timings at local[32] ----
+    val spark = session(32)
+    val results = try {
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> dt
+      }
+    } finally spark.stop()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"urls_scheduled_deduped_per_sec","value":${f"$thr32%.0f"},"unit":"urls/sec",""" +
+        s""""queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},""" +
+        s""""crawl_bench":{"frontier_urls":$frontierN,"scheduled_8":$n8,"scheduled_32":$n32,""" +
+        s""""sec_local8":${f"$t8%.2f"},"sec_local32":${f"$t32%.2f"},""" +
+        s""""urls_per_sec_local8":${f"$thr8%.0f"},"urls_per_sec_local32":${f"$thr32%.0f"},""" +
+        s""""scaling_efficiency_8_to_32":${f"$eff%.3f"}}}""")
   }
 }

@@ -89,10 +89,12 @@ final class CrawlEngine(
     * source — CSV readers provide it as the row index). */
   def enrichSeeds(raw: DataFrame): DataFrame =
     raw
-      .withColumn("url_norm", UrlCanon.canonUdf(col("url")))
+      .withColumn("__cp", UrlCanon.canonPartsUdf(col("url")))
+      .withColumn("url_norm", col("__cp.url_norm"))
       .withColumn("url_hash", xxhash64(col("url_norm")))
-      .withColumn("host", UrlCanon.hostUdf(col("url_norm")))
-      .withColumn("depth", UrlCanon.depthUdf(col("url_norm")))
+      .withColumn("host", col("__cp.host"))
+      .withColumn("depth", col("__cp.depth"))
+      .drop("__cp")
       .withColumn("host_rank", lit(0))
       .withColumn("attempt", lit(0))
 
@@ -187,10 +189,12 @@ final class CrawlEngine(
         posexplode(col("fields.links")).as(Seq("link_idx", "href")))
       .filter(col("href") =!= "N/A" && col("href").startsWith("http"))
       .withColumn("url", col("href"))
-      .withColumn("url_norm", UrlCanon.canonUdf(col("url")))
+      .withColumn("__cp", UrlCanon.canonPartsUdf(col("url")))
+      .withColumn("url_norm", col("__cp.url_norm"))
       .withColumn("url_hash", xxhash64(col("url_norm")))
-      .withColumn("host", UrlCanon.hostUdf(col("url_norm")))
-      .withColumn("depth", UrlCanon.depthUdf(col("url_norm")))
+      .withColumn("host", col("__cp.host"))
+      .withColumn("depth", col("__cp.depth"))
+      .drop("__cp")
       .withColumn("host_rank", lit(round))
       .withColumn("is_processed", lit(false))
       .withColumn("discovered_seq",

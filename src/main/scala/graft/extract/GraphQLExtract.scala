@@ -1,0 +1,140 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The GraphQL-payload extraction surface of the reference (SURVEY.md §2.2
+  * P18-P22, §3.2): Seoudi/Spinneys fetch deeply nested product JSON
+  * (products list query seoudi_extract_data.py:89-176, detail query
+  * :202-272) and pluck fields with `.get()` chains. Spark-native form: a
+  * `docs(doc: String)` table + `from_json` with an explicit nested schema +
+  * null-safe struct/array access — all codegen'd, no UDFs.
+  */
+object GraphQLExtract {
+
+  /** Nested schema mirroring the reference's detail-query response
+    * (seoudi_extract_data.py:213-269: sku, name, url_key, brand{name},
+    * categories[{name,level,url_path}], price_range{maximum_price
+    * {final_price{value}, regular_price{value}}}, attributes[{key,value}],
+    * special_from_date/special_to_date, thumbnail{url}). */
+  val productSchema: StructType = StructType.fromDDL(
+    """data STRUCT<products: STRUCT<items: ARRAY<STRUCT<
+      |  sku: STRING, name: STRING, url_key: STRING,
+      |  special_from_date: STRING, special_to_date: STRING,
+      |  brand: STRUCT<name: STRING>,
+      |  thumbnail: STRUCT<url: STRING>,
+      |  categories: ARRAY<STRUCT<name: STRING, level: INT, url_path: STRING>>,
+      |  price_range: STRUCT<maximum_price: STRUCT<
+      |    final_price: STRUCT<value: DOUBLE>,
+      |    regular_price: STRUCT<value: DOUBLE>>>,
+      |  attributes: ARRAY<STRUCT<key: STRING, value: STRING>>
+      |>>>>""".stripMargin)
+
+  /** Parse a JSON document column into the typed product item (first item of
+    * the list — the detail query returns exactly one,
+    * seoudi_extract_data.py:278-282). */
+  def parseItem(doc: Column): Column =
+    element_at(from_json(doc, productSchema).getField("data")
+      .getField("products").getField("items"), 1)
+
+  /** P20 — safe category name at position i (1-based): `categories[i].name`
+    * if present else null->'' (seoudi:349-357, spinneys safe_get_category_name
+    * :465-466). element_at is null-safe by construction. */
+  def safeCategoryName(item: Column, i: Int): Column =
+    coalesce(element_at(item.getField("categories"), i).getField("name"), lit(""))
+
+  /** P19 — barcode concat (seoudi:297-304): sku + ", " + alternative_skus
+    * attribute when present and distinct from sku. */
+  def barcodeConcat(item: Column): Column = {
+    val sku = item.getField("sku")
+    val alt = element_at(
+      filter(item.getField("attributes"), a => a.getField("key") === "alternative_skus"), 1)
+      .getField("value")
+    when(alt.isNotNull && alt =!= sku, concat_ws(", ", sku, alt)).otherwise(sku)
+  }
+
+  /** P18 — offer nulling (seoudi:307-314): when final == regular there is no
+    * offer; price_after/start/end become empty. Returns
+    * (price_before, price_after, offer_start, offer_end) as formatted
+    * strings, prices at 2 decimals like the reference's stringified floats. */
+  def offerColumns(item: Column): (Column, Column, Column, Column) = {
+    val finalP = item.getField("price_range").getField("maximum_price")
+      .getField("final_price").getField("value")
+    val regP = item.getField("price_range").getField("maximum_price")
+      .getField("regular_price").getField("value")
+    val noOffer = finalP === regP
+    val fmt = (c: Column) => format_number(c, 2)
+    (fmt(regP),
+      when(noOffer, lit("")).otherwise(fmt(finalP)),
+      when(noOffer, lit("")).otherwise(coalesce(item.getField("special_from_date"), lit(""))),
+      when(noOffer, lit("")).otherwise(coalesce(item.getField("special_to_date"), lit(""))))
+  }
+
+  /** P22 — url synthesis (seoudi:317): prefix + url_key. */
+  def synthesizeUrl(item: Column, prefix: String): Column =
+    concat(lit(prefix), item.getField("url_key"))
+
+  /** Full pluck projection over a docs(doc string) table: one row per
+    * document with the reference's field set (merchant-neutral subset). */
+  def pluckProducts(docs: DataFrame, urlPrefix: String): DataFrame = {
+    val item = parseItem(col("doc"))
+    val (pb, pa, os, oe) = offerColumns(item)
+    val cols: Seq[Column] = Seq(
+      coalesce(item.getField("sku"), lit("")).as("sku"),
+      coalesce(item.getField("name"), lit("")).as("name"),
+      coalesce(item.getField("brand").getField("name"), lit("")).as("brand"),
+      barcodeConcat(item).as("barcode")) ++
+      (1 to 9).map(i => safeCategoryName(item, i).as(s"category_$i")) ++
+      Seq(pb.as("price_before"), pa.as("price_after"),
+        os.as("offer_start_date"), oe.as("offer_end_date"),
+        synthesizeUrl(item, urlPrefix).as("url"),
+        coalesce(item.getField("thumbnail").getField("url"), lit("")).as("image_url"))
+    docs.select(cols: _*)
+  }
+
+  /** G1 — per-barcode explode AFTER the pluck (seoudi:404-445): combined row
+    * plus one row per split barcode. */
+  def withBarcodeRows(products: DataFrame): DataFrame =
+    Extractors.explodeBarcodes(products)
+
+  // -------------------- deterministic synthetic corpus --------------------
+
+  /** Synthetic GraphQL detail documents exercising every branch: null brand
+    * (seoudi:287-288), >9 categories, missing categories, final==regular
+    * (offer nulling), alternative_skus present/equal/absent. */
+  def syntheticDocs(spark: SparkSession, n: Long, numPartitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    import graft.gen.Synthetic.mix2
+    spark.range(0, n, 1, numPartitions).map { idBoxed =>
+      val id: Long = idBoxed
+      val sku = s"SKU-$id"
+      val nCats = (mix2(id, 1) % 12).abs.toInt // up to 11 -> exercises >9
+      val cats = (0 until nCats).map(i =>
+        s"""{"name":"Cat-${(mix2(id, 10 + i) % 30).abs}","level":${i + 2},"url_path":"c$i"}""")
+        .mkString("[", ",", "]")
+      val brand =
+        if ((mix2(id, 2) & 3) == 0) "null"
+        else s"""{"name":"Brand-${(mix2(id, 3) % 25).abs}"}"""
+      val regular = ((mix2(id, 4) % 90000).abs + 1000) / 100.0
+      val hasOffer = (mix2(id, 5) & 3) == 0
+      val fin = if (hasOffer) regular - ((mix2(id, 6) % 500).abs + 1) / 100.0 else regular
+      val altCase = (mix2(id, 7) % 3).abs
+      val attrs = altCase match {
+        case 0 => s"""[{"key":"alternative_skus","value":"ALT-$id"}]"""
+        case 1 => s"""[{"key":"alternative_skus","value":"$sku"}]""" // equal -> no concat
+        case _ => s"""[{"key":"color","value":"red"}]"""
+      }
+      val doc =
+        s"""{"data":{"products":{"items":[{"sku":"$sku","name":"Item $id",
+           |"url_key":"item-$id","special_from_date":"2024-11-01",
+           |"special_to_date":"2024-11-30","brand":$brand,
+           |"thumbnail":{"url":"https://img/i$id.jpg"},
+           |"categories":$cats,
+           |"price_range":{"maximum_price":{"final_price":{"value":$fin},
+           |"regular_price":{"value":$regular}}},
+           |"attributes":$attrs}]}}}""".stripMargin.replace("\n", "")
+      (id, doc)
+    }.toDF("doc_id", "doc")
+  }
+}

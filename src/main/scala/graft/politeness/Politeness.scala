@@ -25,39 +25,71 @@ object Politeness {
   def priorityCols(df: DataFrame): Seq[Column] =
     Seq(df("host_rank"), df("depth"), df("discovered_seq"), df("url_hash"))
 
-  /** Apply robots rules: keep rows whose (host, path) resolves to allow.
-    * Rules are a small dimension -> broadcast; longest-prefix-wins via
-    * row_number over prefix length. */
+  /** Apply robots rules: keep rows whose (host, path) resolves to allow,
+    * longest matching prefix wins, unmatched hosts default-allow.
+    *
+    * Shuffle-free: the rules dimension is pre-aggregated per host into an
+    * array column, broadcast-joined, and the longest-prefix resolution is a
+    * codegen'd `aggregate` fold over that array — no window, no exchange of
+    * the frontier. (The previous formulation used a per-row window over the
+    * whole frontier — a full extra shuffle per round.) */
   def applyRobots(frontier: DataFrame, robots: DataFrame): DataFrame = {
-    val path = regexp_replace(frontier("url_norm"), "^[a-z][a-z0-9+.-]*://[^/?]*", "")
-    val f = frontier.withColumn("__path", path)
-    val joined = f.join(
-      broadcast(robots.select(col("host"), col("path_prefix"), col("allow"))),
-      f("host") === robots("host") && f("__path").startsWith(robots("path_prefix")),
-      "left_outer")
-      .drop(robots("host"))
-    val w = Window
-      .partitionBy(col("url_hash"), col("discovered_seq"))
-      .orderBy(length(coalesce(col("path_prefix"), lit(""))).desc)
+    val rulesByHost = robots
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("path_prefix"), col("allow"))).as("__rules"))
+    val path = regexp_replace(col("url_norm"), "^[a-z][a-z0-9+.-]*://[^/?]*", "")
+    val joined = frontier
+      .withColumn("__path", path)
+      .join(broadcast(rulesByHost), Seq("host"), "left_outer")
+    // fold: keep the (longest prefix, allow) among matching rules; hosts
+    // with no rules (__rules null) propagate null -> default allow
+    val best = aggregate(
+      filter(col("__rules"), r => col("__path").startsWith(r.getField("path_prefix"))),
+      struct(lit(-1).as("len"), lit(true).as("allow")),
+      (acc, r) => when(length(r.getField("path_prefix")) > acc.getField("len"),
+        struct(length(r.getField("path_prefix")).as("len"), r.getField("allow").as("allow")))
+        .otherwise(acc))
     joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .filter(coalesce(col("allow"), lit(true))) // no rule -> allow
-      .drop("__path", "__rn", "path_prefix", "allow")
+      .withColumn("__allow", coalesce(best.getField("allow"), lit(true)))
+      .filter(col("__allow"))
+      .drop("__path", "__rules", "__allow")
   }
 
   /** Per-host budget: rows ranked within host by the priority key; rank <=
     * budget are schedulable this round, the rest are deferred. Returns the
     * frontier with a boolean `scheduled_now`. Hosts without a budget row get
-    * `defaultBudget`. */
-  def applyBudgets(frontier: DataFrame, budgets: DataFrame, defaultBudget: Int): DataFrame = {
-    val w = Window.partitionBy(col("host"))
-      .orderBy(col("host_rank"), col("depth"), col("discovered_seq"), col("url_hash"))
-    frontier
+    * `defaultBudget`.
+    *
+    * Skew-proof two-phase top-K (a Zipf frontier puts ~half the URLs on one
+    * host; a single per-host window would serialize that host onto one
+    * reducer): phase 1 ranks within (host, salt) — a row outside its salt
+    * bucket's top-B cannot be in the host's global top-B, so it is flagged
+    * deferred without entering phase 2; phase 2 ranks the <= saltFactor*B
+    * surviving candidates per host. Exact same result as the single
+    * window, verified in SchedulerSpec/CrawlEngineSpec. */
+  def applyBudgets(
+      frontier: DataFrame,
+      budgets: DataFrame,
+      defaultBudget: Int,
+      saltFactor: Int = 16): DataFrame = {
+    val joined = frontier
       .join(broadcast(budgets), Seq("host"), "left_outer")
-      .withColumn("__host_rn", row_number().over(w))
-      .withColumn("scheduled_now",
-        col("__host_rn") <= coalesce(col("per_round"), lit(defaultBudget)))
-      .drop("__host_rn", "per_round")
+      .withColumn("__budget", coalesce(col("per_round"), lit(defaultBudget)))
+    val priority = Seq(col("host_rank"), col("depth"), col("discovered_seq"), col("url_hash"))
+    val w1 = Window.partitionBy(col("host"), pmod(col("url_hash"), lit(saltFactor)))
+      .orderBy(priority: _*)
+    // persisted: both the candidates and overflow branches read it — without
+    // this the whole upstream (scan + canon + dedup) executes twice
+    val phase1 = joined.withColumn("__rn1", row_number().over(w1)).persist()
+    val candidates = phase1.filter(col("__rn1") <= col("__budget"))
+    val overflow = phase1.filter(col("__rn1") > col("__budget"))
+      .withColumn("scheduled_now", lit(false))
+    val w2 = Window.partitionBy(col("host")).orderBy(priority: _*)
+    val ranked = candidates
+      .withColumn("__rn2", row_number().over(w2))
+      .withColumn("scheduled_now", col("__rn2") <= col("__budget"))
+      .drop("__rn2")
+    ranked.drop("__rn1", "__budget", "per_round")
+      .unionByName(overflow.drop("__rn1", "__budget", "per_round"))
   }
 }

@@ -90,7 +90,8 @@ object Scheduler {
       defaultBudget: Int,
       numPartitions: Int): (DataFrame, DataFrame) = {
     val allowed = Politeness.applyRobots(frontier, robots)
-    val budgeted = Politeness.applyBudgets(allowed, budgets, defaultBudget)
+    // persisted: the scheduled-now and deferred branches both read this
+    val budgeted = Politeness.applyBudgets(allowed, budgets, defaultBudget).persist()
     val now = budgeted.filter(col("scheduled_now")).drop("scheduled_now")
     val deferred = budgeted.filter(!col("scheduled_now")).drop("scheduled_now")
     val ordered = withCrawlOrder(

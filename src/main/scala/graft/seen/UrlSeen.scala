@@ -40,11 +40,15 @@ object UrlSeen {
     val bloom = bloomOf(seen, hashCol, expectedSeen, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightBeSeen = udf((h: Long) => bloomBc.value.mightContainLong(h))
-    val definitelyNew = frontier.filter(!mightBeSeen(col(hashCol)))
-    val candidates = frontier.filter(mightBeSeen(col(hashCol)))
+    // persisted: the definitely-new and candidate branches both read the
+    // frontier — without this its upstream plan executes twice per round
+    val input = frontier.persist()
+    val definitelyNew = input.filter(!mightBeSeen(col(hashCol)))
+    val candidates = input.filter(mightBeSeen(col(hashCol)))
     val survivors = candidates.join(
       seen.select(col(hashCol)).distinct(), Seq(hashCol), "left_anti")
     definitelyNew.unionByName(survivors)
+    // (callers release the persist via round-end spark.catalog.clearCache())
   }
 
   /** Plain exact anti-join (the correctness identity; used at tiny scale and

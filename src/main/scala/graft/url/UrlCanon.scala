@@ -213,9 +213,19 @@ object UrlCanon extends Serializable {
   val hostUdf = udf(hostOf _)
   val depthUdf = udf(depthOf _)
 
+  /** Canonical form + host + depth in ONE pass (one UDF invocation per row
+    * on the frontier hot path instead of three re-parses). */
+  final case class CanonParts(url_norm: String, host: String, depth: Int)
+  def canonParts(raw: String): CanonParts = {
+    val norm = canonicalize(raw)
+    CanonParts(norm, hostOf(norm), depthOf(norm))
+  }
+  val canonPartsUdf = udf(canonParts _)
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("url_canon", canonicalize _)
     spark.udf.register("url_host", hostOf _)
     spark.udf.register("url_depth", depthOf _)
+    spark.udf.register("url_canon_parts", canonParts _)
   }
 }

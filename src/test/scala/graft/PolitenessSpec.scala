@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.{FrontierEntry, RobotsRule}
+import graft.politeness.Politeness
+
+class PolitenessSpec extends SparkTestBase {
+
+  private def entry(url: String, seq: Long): FrontierEntry = {
+    import graft.url.UrlCanon
+    val norm = UrlCanon.canonicalize(url)
+    FrontierEntry("c", url, is_processed = false, norm,
+      graft.util.Hashing.xxhash64(norm), UrlCanon.hostOf(norm),
+      UrlCanon.depthOf(norm), 0, seq, 0)
+  }
+
+  test("robots: deny prefix filters, longest prefix wins, no-rule hosts default-allow") {
+    import spark.implicits._
+    val frontier = Seq(
+      entry("https://a.com/private/x", 1),   // denied by /private
+      entry("https://a.com/private/open/x", 2), // re-allowed by longer prefix
+      entry("https://a.com/public/x", 3),    // allowed by /
+      entry("https://norules.com/x", 4)      // no rules -> allow
+    ).toDS().toDF()
+    val robots = Seq(
+      RobotsRule("a.com", "/", allow = true, 100),
+      RobotsRule("a.com", "/private", allow = false, 100),
+      RobotsRule("a.com", "/private/open", allow = true, 100)
+    ).toDS().toDF()
+    val kept = Politeness.applyRobots(frontier, robots)
+      .select("discovered_seq").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  test("two-phase budget equals single-window budget on a skewed frontier") {
+    import org.apache.spark.sql.expressions.Window
+    val f = graft.gen.Synthetic.frontier(spark, 3000, 4).toDF()
+      .filter(!col("is_processed")).dropDuplicates("url_hash")
+    val budgets = graft.gen.Synthetic.budgets(spark, 37).toDF()
+    val got = Politeness.applyBudgets(f, budgets, 37)
+      .filter(col("scheduled_now")).select("url_hash")
+      .collect().map(_.getLong(0)).toSet
+    // single-window reference
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("host_rank"), col("depth"), col("discovered_seq"), col("url_hash"))
+    val want = f.withColumn("rn", row_number().over(w)).filter(col("rn") <= 37)
+      .select("url_hash").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+}
