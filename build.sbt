@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // moderate heap: on this sandbox VM, faulting in tens of GB of fresh heap
+  // stalls the guest (host-side page allocation shows up as steal time);
+  // 16g fits the bench working set without triggering it
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Spark whole-stage codegen churns generated classes; the default 240m
+  // code cache fills mid-session, the JIT stops compiling, and hot loops
+  // (incl. plain Scala UDF bodies) silently drop to the interpreter at
+  // 30-50x cost. Standard Spark-on-JDK17 mitigation.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -648,6 +648,64 @@ object GraftQueries {
       |  md5(text) AS content_hash
       |FROM documents""".stripMargin
 
+  /** GraphQL nested-payload pluck (P19/P20/P22 over from_json): the JSON doc
+    * is built with the SAME string concatenation in both engines, then Spark
+    * parses with the typed nested schema while DuckDB uses json_extract —
+    * the parse paths differ, the results must not. Prices omitted (double
+    * stringification differs across engines; covered by GraphQLExtractSpec). */
+  private def qGraphqlPluck(s: SparkSession, dir: String): DataFrame = {
+    import graft.extract.GraphQLExtract
+    val doc = concat(
+      lit("""{"data":{"products":{"items":[{"sku":"S"""), col("p_partkey").cast("string"),
+      lit("""","name":""""), col("p_name"),
+      lit("""","url_key":"k"""), col("p_partkey").cast("string"),
+      lit("""","brand":"""),
+      when(col("p_partkey") % 4 === 0, lit("null"))
+        .otherwise(concat(lit("""{"name":""""), col("p_brand"), lit("\"}"))),
+      lit(""","categories":[{"name":""""), col("p_type"),
+      lit("""","level":2,"url_path":"x"}]"""),
+      lit(""","attributes":[{"key":"alternative_skus","value":"A"""),
+      col("p_partkey").cast("string"), lit("\"}]}]}}}"))
+    val docs = t(s, dir, "part").select(col("p_partkey"), doc.as("doc"))
+    val item = GraphQLExtract.parseItem(col("doc"))
+    docs.select(
+      col("p_partkey"),
+      item.getField("sku").as("sku"),
+      item.getField("name").as("name"),
+      coalesce(item.getField("brand").getField("name"), lit("")).as("brand"),
+      GraphQLExtract.barcodeConcat(item).as("barcode"),
+      GraphQLExtract.safeCategoryName(item, 1).as("category_1"),
+      GraphQLExtract.safeCategoryName(item, 2).as("category_2"),
+      GraphQLExtract.synthesizeUrl(item, "https://shop.example.com/en/").as("url"))
+  }
+
+  private val qGraphqlPluckSql =
+    """WITH docs AS (
+      |  SELECT p_partkey,
+      |    '{"data":{"products":{"items":[{"sku":"S' || p_partkey ||
+      |    '","name":"' || p_name ||
+      |    '","url_key":"k' || p_partkey ||
+      |    '","brand":' || CASE WHEN p_partkey % 4 = 0 THEN 'null'
+      |                         ELSE '{"name":"' || p_brand || '"}' END ||
+      |    ',"categories":[{"name":"' || p_type || '","level":2,"url_path":"x"}]' ||
+      |    ',"attributes":[{"key":"alternative_skus","value":"A' || p_partkey ||
+      |    '"}]}]}}}' AS doc
+      |  FROM part)
+      |SELECT p_partkey,
+      |  json_extract_string(doc, '$.data.products.items[0].sku') AS sku,
+      |  json_extract_string(doc, '$.data.products.items[0].name') AS name,
+      |  coalesce(json_extract_string(doc, '$.data.products.items[0].brand.name'), '') AS brand,
+      |  CASE WHEN json_extract_string(doc, '$.data.products.items[0].attributes[0].value')
+      |            <> json_extract_string(doc, '$.data.products.items[0].sku')
+      |       THEN json_extract_string(doc, '$.data.products.items[0].sku') || ', ' ||
+      |            json_extract_string(doc, '$.data.products.items[0].attributes[0].value')
+      |       ELSE json_extract_string(doc, '$.data.products.items[0].sku') END AS barcode,
+      |  coalesce(json_extract_string(doc, '$.data.products.items[0].categories[0].name'), '') AS category_1,
+      |  coalesce(json_extract_string(doc, '$.data.products.items[0].categories[1].name'), '') AS category_2,
+      |  'https://shop.example.com/en/' ||
+      |    json_extract_string(doc, '$.data.products.items[0].url_key') AS url
+      |FROM docs""".stripMargin
+
   // ======================================================================
   // Classic relational headliners (bench comparability)
   // ======================================================================
@@ -715,6 +773,38 @@ object GraftQueries {
     Extractors.carrefourProduct(pivoted, "2024-11-10")
   }
 
+  /** Native 64-bit SimHash (expression-only, xxhash64 votes — the production
+    * variant of q_simhash; no DuckDB equivalent hash, rows-only). */
+  private def qSimhash64Native(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    t(s, dir, "documents")
+      .select(col("doc_id"), simhash64(wsTokens(col("text"))).as("simhash64"))
+  }
+
+  /** Native MinHash+LSH candidate pairs via TextFunctions (trigram shingles,
+    * 16 hashes, 4 bands; xxhash64-based -> rows-only). */
+  private def qMinhashLshNative(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val sig = t(s, dir, "documents")
+      .select(col("doc_id"),
+        lshBands(minhash(shingles(wsTokens(col("text")), 3), 16), 4).as("bands"))
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Multimodal batched decode (stub codec; real mapPartitions plumbing —
+    * rows-only, exactness covered by MultimodalSpec). */
+  private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.decodeFeatures(Multimodal.syntheticMedia(s, 2000, 8)).toDF()
+      .select("media_id", "kind", "n_bytes", "width", "height", "n_frames", "checksum")
+  }
+
   /** One full engine scheduling pass over the synthetic frontier. */
   private def qCrawlSchedule(s: SparkSession, dir: String): DataFrame = {
     val f = Synthetic.frontier(s, 2000, 8).toDF().filter(!col("is_processed"))
@@ -757,11 +847,15 @@ object GraftQueries {
     "q_ann_topk" -> (qAnnTopK _),
     "q_ann_ivf_assign" -> (qAnnIvfAssign _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_graphql_pluck" -> (qGraphqlPluck _),
     "q_agg" -> (qAgg _),
     "q_join3" -> (qJoin3 _),
     "q_url_canon_full" -> (qUrlCanonFull _),
     "q_extract_products" -> (qExtractProducts _),
-    "q_crawl_schedule" -> (qCrawlSchedule _))
+    "q_crawl_schedule" -> (qCrawlSchedule _),
+    "q_simhash64_native" -> (qSimhash64Native _),
+    "q_minhash_lsh_native" -> (qMinhashLshNative _),
+    "q_multimodal_decode" -> (qMultimodalDecode _))
 
   val oracles: Map[String, String] = Map(
     "q_frontier_pending" -> qFrontierPendingSql,
@@ -793,6 +887,7 @@ object GraftQueries {
     "q_ann_topk" -> qAnnTopKSql,
     "q_ann_ivf_assign" -> qAnnIvfAssignSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_graphql_pluck" -> qGraphqlPluckSql,
     "q_agg" -> qAggSql,
     "q_join3" -> qJoin3Sql)
 }

@@ -8,7 +8,11 @@ object DebugScale {
   def main(args: Array[String]): Unit = {
     val frontierPath = "/tmp/graft_bench/frontier"
     val warmupPath = "/tmp/graft_bench/frontier_warmup"
-    for ((cpus, sp) <- Seq((8, 8), (8, 32), (8, 64), (32, 32), (32, 128))) {
+    val configs = args.toSeq match {
+      case Nil => Seq((2, 64), (8, 64), (32, 64))
+      case xs => xs.map { a => val Array(c, p) = a.split(":"); (c.toInt, p.toInt) }
+    }
+    for ((cpus, sp) <- configs) {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       val spark = SparkSession.builder().master(s"local[$cpus]")
         .appName(s"dbg-$cpus-$sp")
