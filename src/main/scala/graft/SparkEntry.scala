@@ -13,7 +13,7 @@ object SparkEntry {
     import graft.url.UrlCanon
     val pages = graft.gen.Synthetic.pages(spark, 100, 4).toDF()
       .withColumn("url_norm",
-        UrlCanon.canonUdf(regexp_replace(col("url"), "/ar/", "/en/")))
+        graft.plans.UrlCanonExpr.canon(regexp_replace(col("url"), "/ar/", "/en/")))
     val withFields = Extractors.withPageFields(pages)
     val pivoted = Extractors.pivotLangs(withFields, "url_norm")
       .withColumn("url_en", coalesce(col("url_en"), col("url_norm")))

@@ -89,7 +89,7 @@ final class CrawlEngine(
     * source — CSV readers provide it as the row index). */
   def enrichSeeds(raw: DataFrame): DataFrame =
     raw
-      .withColumn("__cp", UrlCanon.canonPartsUdf(col("url")))
+      .withColumn("__cp", graft.plans.UrlCanonPartsExpr.canonParts(col("url")))
       .withColumn("url_norm", col("__cp.url_norm"))
       .withColumn("url_hash", xxhash64(col("url_norm")))
       .withColumn("host", col("__cp.host"))
@@ -145,7 +145,7 @@ final class CrawlEngine(
     // extraction runs ONLY on joined (scheduled) pages.
     val pagesKeyed = pages
       .withColumn("url_key",
-        UrlCanon.canonUdf(regexp_replace(col("url"), "/ar/", "/en/")))
+        graft.plans.UrlCanonExpr.canon(regexp_replace(col("url"), "/ar/", "/en/")))
     val joined = scheduled
       .select(col("url_norm"), col("url").as("frontier_url"), col("category"),
         col("crawl_order"), col("attempt"), col("host"))
@@ -189,7 +189,7 @@ final class CrawlEngine(
         posexplode(col("fields.links")).as(Seq("link_idx", "href")))
       .filter(col("href") =!= "N/A" && col("href").startsWith("http"))
       .withColumn("url", col("href"))
-      .withColumn("__cp", UrlCanon.canonPartsUdf(col("url")))
+      .withColumn("__cp", graft.plans.UrlCanonPartsExpr.canonParts(col("url")))
       .withColumn("url_norm", col("__cp.url_norm"))
       .withColumn("url_hash", xxhash64(col("url_norm")))
       .withColumn("host", col("__cp.host"))

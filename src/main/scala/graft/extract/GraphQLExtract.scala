@@ -35,21 +35,21 @@ object GraphQLExtract {
     * the list — the detail query returns exactly one,
     * seoudi_extract_data.py:278-282). */
   def parseItem(doc: Column): Column =
-    element_at(from_json(doc, productSchema).getField("data")
-      .getField("products").getField("items"), 1)
+    try_element_at(from_json(doc, productSchema).getField("data")
+      .getField("products").getField("items"), lit(1))
 
   /** P20 — safe category name at position i (1-based): `categories[i].name`
     * if present else null->'' (seoudi:349-357, spinneys safe_get_category_name
     * :465-466). element_at is null-safe by construction. */
   def safeCategoryName(item: Column, i: Int): Column =
-    coalesce(element_at(item.getField("categories"), i).getField("name"), lit(""))
+    coalesce(try_element_at(item.getField("categories"), lit(i)).getField("name"), lit(""))
 
   /** P19 — barcode concat (seoudi:297-304): sku + ", " + alternative_skus
     * attribute when present and distinct from sku. */
   def barcodeConcat(item: Column): Column = {
     val sku = item.getField("sku")
-    val alt = element_at(
-      filter(item.getField("attributes"), a => a.getField("key") === "alternative_skus"), 1)
+    val alt = try_element_at(
+      filter(item.getField("attributes"), a => a.getField("key") === "alternative_skus"), lit(1))
       .getField("value")
     when(alt.isNotNull && alt =!= sku, concat_ws(", ", sku, alt)).otherwise(sku)
   }

@@ -437,7 +437,7 @@ object GraftQueries {
     (0 until 8).map(i => min(md5(concat(lit(s"${i}_"), col("token")).cast("binary"))).as(s"h$i"))
 
   private def qMinhashSig(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    t(s, dir, "documents").filter(col("doc_id") < 1500)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
       .groupBy("doc_id")
       .agg(minhashCols.head, minhashCols.tail: _*)
@@ -473,7 +473,7 @@ object GraftQueries {
       .mkString("\n  UNION ALL ")
     s"""WITH sig AS (
        |  SELECT doc_id, $mins
-       |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 1500)
        |  GROUP BY doc_id),
        |bands AS (
        |  $bandRows)
@@ -484,7 +484,7 @@ object GraftQueries {
   /** n-gram Jaccard near-dup: token-trigram sets, pairwise Jaccard (milli,
     * floor-quantized) over pairs within the same source partition. */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 1500)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val tris = docs
       .select(col("doc_id"), col("source"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -758,15 +758,15 @@ object GraftQueries {
   private def qUrlCanonFull(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("url", messyUrl)
-      .select(col("doc_id"), UrlCanon.canonUdf(col("url")).as("url_canon"),
-        UrlCanon.hostUdf(UrlCanon.canonUdf(col("url"))).as("host"))
+      .withColumn("__cp", graft.plans.UrlCanonPartsExpr.canonParts(col("url")))
+      .select(col("doc_id"), col("__cp.url_norm").as("url_canon"), col("__cp.host").as("host"))
 
   /** HTML extraction kernel + EN⋈AR pivot + 34-col Product projection over
     * a deterministic synthetic pages corpus (P1-P23, J1). */
   private def qExtractProducts(s: SparkSession, dir: String): DataFrame = {
     val pages = Synthetic.pages(s, 200, 8).toDF()
       .withColumn("url_norm",
-        UrlCanon.canonUdf(regexp_replace(col("url"), "/ar/", "/en/")))
+        graft.plans.UrlCanonExpr.canon(regexp_replace(col("url"), "/ar/", "/en/")))
     val withFields = Extractors.withPageFields(pages)
     val pivoted = Extractors.pivotLangs(withFields, "url_norm")
       .withColumn("url_en", coalesce(col("url_en"), col("url_norm")))
@@ -785,11 +785,17 @@ object GraftQueries {
     * 16 hashes, 4 bands; xxhash64-based -> rows-only). */
   private def qMinhashLshNative(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
-    val sig = t(s, dir, "documents")
+    // bounded: the synthetic corpus has a ~30-word vocabulary, so shingle
+    // band collisions grow quadratically with corpus size; cap the candidate
+    // universe so the pair join stays representative, not explosive
+    // persisted: the self-join would otherwise recompute the (large)
+    // minhash expression tree on both sides
+    val sig = t(s, dir, "documents").filter(col("doc_id") < 1500)
       .select(col("doc_id"),
         lshBands(minhash(shingles(wsTokens(col("text")), 3), 16), 4).as("bands"))
       .select(col("doc_id"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+      .persist()
     sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
