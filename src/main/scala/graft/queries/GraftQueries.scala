@@ -301,14 +301,12 @@ object GraftQueries {
       |  FROM events) WHERE rn <= 100""".stripMargin
 
   /** F2 — resume skip-until-cursor (seoudi:185-196): skip the first 1000 of
-    * the deterministic crawl order. */
-  private def qResumeSkip(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("ts"), col("event_id"))
-    t(s, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 1000)
+    * the deterministic crawl order. Uses the scalable two-pass global
+    * numbering (a bare global window would single-reducer the table). */
+  private def qResumeSkip(s: SparkSession, dir: String): DataFrame =
+    Scheduler.withCrawlOrder(t(s, dir, "events"), Seq(col("ts"), col("event_id")), 8)
+      .filter(col("crawl_order") >= 1000)
       .select(col("event_id"))
-  }
 
   private val qResumeSkipSql =
     """SELECT event_id FROM (
@@ -583,9 +581,12 @@ object GraftQueries {
       .crossJoin(broadcast(query))
       .select(col("vec_id"),
         aggregate(zip_with(col("q"), col("qv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("dot"))
+    // top-k via orderBy+limit -> TakeOrderedAndProject (distributed partial
+    // top-k, merged on the driver) — a global rank window would single-
+    // reducer every score; the rank window then runs over just k rows
+    val topK = dots.orderBy(col("dot").desc, col("vec_id")).limit(10)
     val w = Window.orderBy(col("dot").desc, col("vec_id"))
-    dots.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+    topK.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("vec_id"), col("dot"))
   }
 
