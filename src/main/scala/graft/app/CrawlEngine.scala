@@ -118,7 +118,10 @@ final class CrawlEngine(
     val ckpt = readCheckpoint().getOrElse(Checkpoint(0, 0, 0, 0, 0, 0, 0, 0L))
     val round = ckpt.round + 1
 
-    val pendingOpt = if (ckpt.frontier > 0) frontierTable.readAt(ckpt.frontier) else frontierTable.read()
+    // streaming-ingest appends on top of the checkpointed snapshot are
+    // legitimate frontier content; a torn round commit is not (see
+    // SnapshotTable.readAtOrIngested)
+    val pendingOpt = frontierTable.readAtOrIngested(ckpt.frontier, "ingest")
     val pending = pendingOpt.getOrElse(return 0L)
     if (pending.isEmpty) return 0L
 
@@ -130,7 +133,7 @@ final class CrawlEngine(
       .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1).drop("__rn")
 
     // J4: Bloom + exact anti-join against seen
-    val seen = (if (ckpt.seen > 0) seenTable.readAt(ckpt.seen) else seenTable.read())
+    val seen = seenTable.readAtOrIngested(ckpt.seen, "ingest")
       .getOrElse(Seq.empty[Long].toDF("url_hash"))
     val seenCount = seen.count()
     val unseen = UrlSeen.antiJoin(deduped, seen, "url_hash", seenCount, bloomFpp)
@@ -217,10 +220,10 @@ final class CrawlEngine(
         col("min_url_hash"), col("max_url_hash"))
 
     // --- commit: tables first, checkpoint last (atomic resume point) ---
-    val fTid = frontierTable.overwrite(nextFrontier)
-    val sTid = seenTable.append(fetchedHashes)
-    val pTid = productsTable.append(products)
-    val qTid = quarantineTable.append(quarantined)
+    val fTid = frontierTable.overwrite(nextFrontier, s"round:$round")
+    val sTid = seenTable.append(fetchedHashes, s"round:$round")
+    val pTid = productsTable.append(products, s"round:$round")
+    val qTid = quarantineTable.append(quarantined, s"round:$round")
     val schedTid = scheduleTable.append(
       scheduled.select(col("crawl_order"), lit(round).as("round"), col("host"),
         col("url_norm"), col("url"), col("category"), col("attempt")))

@@ -126,6 +126,25 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def read(): Option[DataFrame] =
     currentSnapshot.flatMap(readSnapshot)
 
+  /** Resume-safe incremental read: return the LATEST snapshot iff every
+    * snapshot between `baseId` (exclusive) and CURRENT carries
+    * `onlyLineage` (e.g. streaming-ingest appends); otherwise return the
+    * snapshot at `baseId`. A torn engine round (kill between table commits)
+    * leaves a non-matching snapshot on top, so resume falls back to the
+    * checkpointed id and the torn data stays orphaned — while pure ingest
+    * appends remain visible without a checkpoint bump. */
+  def readAtOrIngested(baseId: Int, onlyLineage: String): Option[DataFrame] = {
+    val cur = currentSnapshot
+    if (cur.isEmpty) return None
+    var s = cur
+    while (s.exists(_.id > baseId)) {
+      if (!s.exists(_.lineageJson == onlyLineage)) return readAt(baseId)
+      s = s.flatMap(x => snapshotAt(x.parent))
+    }
+    if (s.exists(_.id == baseId) || baseId == 0) cur.flatMap(readSnapshot)
+    else readAt(baseId)
+  }
+
   /** Time travel. */
   def readAt(id: Int): Option[DataFrame] = snapshotAt(id).flatMap(readSnapshot)
 
