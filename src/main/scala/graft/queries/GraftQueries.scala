@@ -632,6 +632,41 @@ object GraftQueries {
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
       |  FROM d) WHERE rn = 1""".stripMargin
 
+  /** Embedding-cosine near-dup pairs, the IVF way: pairs are only compared
+    * INSIDE their IVF cluster (the scale path — the cross join never touches
+    * the full corpus), similarity = exact quantized inner product above a
+    * threshold. */
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val assign = qAnnIvfAssign(s, dir).select(col("vec_id"), col("centroid_id"))
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val withVec = assign.join(emb, "vec_id")
+    val pairs = withVec.as("x").join(withVec.as("y"),
+      col("x.centroid_id") === col("y.centroid_id") && col("x.vec_id") < col("y.vec_id"))
+    pairs.select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        aggregate(zip_with(col("x.q"), col("y.q"), (a, b) => a * b), lit(0L), (acc, v) => acc + v).as("dot"))
+      .filter(col("dot") >= 300000L)
+  }
+
+  private val qEmbedNearDupSql =
+    """WITH ev AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
+      |    generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, pos, x AS cx FROM ev WHERE vec_id < 8),
+      |d AS (
+      |  SELECT ev.vec_id, c.cid, CAST(sum((ev.x - c.cx) * (ev.x - c.cx)) AS BIGINT) AS d2
+      |  FROM ev JOIN c USING (pos) GROUP BY ev.vec_id, c.cid),
+      |asg AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM d) WHERE rn = 1)
+      |SELECT x.vec_id AS a_id, y.vec_id AS b_id, CAST(sum(ex.x * ey.x) AS BIGINT) AS dot
+      |FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      |JOIN ev ex ON ex.vec_id = x.vec_id
+      |JOIN ev ey ON ey.vec_id = y.vec_id AND ex.pos = ey.pos
+      |GROUP BY 1, 2
+      |HAVING sum(ex.x * ey.x) >= 300000""".stripMargin
+
   /** Multimodal plumbing: binary payload column with typed metadata; the
     * decode step is a deterministic stub (no image libs in sandbox — the
     * Spark-side schema/partitioning/batching is the real part, see
@@ -853,6 +888,7 @@ object GraftQueries {
     "q_simhash" -> (qSimhash _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_ann_ivf_assign" -> (qAnnIvfAssign _),
+    "q_embed_neardup" -> (qEmbedNearDup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_graphql_pluck" -> (qGraphqlPluck _),
     "q_agg" -> (qAgg _),
@@ -893,6 +929,7 @@ object GraftQueries {
     "q_simhash" -> qSimhashSql,
     "q_ann_topk" -> qAnnTopKSql,
     "q_ann_ivf_assign" -> qAnnIvfAssignSql,
+    "q_embed_neardup" -> qEmbedNearDupSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_graphql_pluck" -> qGraphqlPluckSql,
     "q_agg" -> qAggSql,
