@@ -62,6 +62,19 @@ final class CrawlEngine(
   final case class Checkpoint(round: Int, frontier: Int, seen: Int, products: Int,
       quarantine: Int, schedule: Int, lineage: Int, scheduledTotal: Long)
 
+  /** Observed (plan-attached) metrics of the most recent round: scheduled,
+    * hosts (approx), max_attempt. Populated by the observe() on the
+    * scheduled plan — zero extra jobs (A3). */
+  @volatile var lastRoundMetrics: Map[String, Any] = Map.empty
+
+  /** Test hook: crash the round after the Nth table commit (simulates a kill
+    * between commits; CrawlEngineSpec proves resume exactness through every
+    * tear point). -1 = never. */
+  @volatile var crashAfterCommit: Int = -1
+  private def maybeCrash(n: Int): Unit =
+    if (crashAfterCommit == n)
+      throw new RuntimeException(s"injected crash after commit $n")
+
   def readCheckpoint(): Option[Checkpoint] = {
     if (!fs.exists(ckptPath)) return None
     val in = fs.open(ckptPath)
@@ -120,8 +133,12 @@ final class CrawlEngine(
 
     // streaming-ingest appends on top of the checkpointed snapshot are
     // legitimate frontier content; a torn round commit is not (see
-    // SnapshotTable.readAtOrIngested)
-    val pendingOpt = frontierTable.readAtOrIngested(ckpt.frontier, "ingest")
+    // SnapshotTable.resolveBase) — reads AND this round's appends both
+    // anchor on the resolved base so a kill between table commits leaves
+    // the torn snapshot orphaned instead of chained (O6 exactness)
+    val frontierBase = frontierTable.resolveBase(ckpt.frontier, "ingest")
+    val seenBase = seenTable.resolveBase(ckpt.seen, "ingest")
+    val pendingOpt = frontierTable.readAt(frontierBase)
     val pending = pendingOpt.getOrElse(return 0L)
     if (pending.isEmpty) return 0L
 
@@ -132,17 +149,31 @@ final class CrawlEngine(
     val deduped = pending
       .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1).drop("__rn")
 
-    // J4: Bloom + exact anti-join against seen
-    val seen = seenTable.readAtOrIngested(ckpt.seen, "ingest")
+    // J4: Bloom + exact anti-join against seen. Bloom sizing reads the seen
+    // cardinality from the snapshot MANIFEST (rowCount is maintained at every
+    // commit) — no full-table count scan per round.
+    val seen = seenTable.readAt(seenBase)
       .getOrElse(Seq.empty[Long].toDF("url_hash"))
-    val seenCount = seen.count()
+    val seenCount = seenTable.snapshotAt(seenBase).map(_.rowCount).getOrElse(0L)
     val unseen = UrlSeen.antiJoin(deduped, seen, "url_hash", seenCount, bloomFpp)
 
     // O1-O3: robots, budgets, deterministic order
     val (scheduled0, deferred) =
       Scheduler.schedule(unseen, robots, budgets, defaultBudget, numPartitions)
-    val scheduled = Scheduler.saltedByHost(scheduled0, numPartitions, saltFactor).persist()
-    val scheduledCount = scheduled.count()
+    // A3: plan-attached observe metrics — the scheduled count and per-round
+    // host stats ride the materializing action for free (the reference's
+    // count barriers, spinneys_extract_data.py:216-238, re-expressed as
+    // observed metrics instead of extra aggregation jobs)
+    val roundObs = org.apache.spark.sql.Observation(s"round_$round")
+    val scheduled = Scheduler.saltedByHost(scheduled0, numPartitions, saltFactor)
+      .observe(roundObs,
+        count(lit(1)).as("scheduled"),
+        approx_count_distinct(col("host")).as("hosts"),
+        max(col("attempt")).as("max_attempt"))
+      .persist()
+    scheduled.count() // materialize once; all metrics land in roundObs
+    val scheduledCount = roundObs.get("scheduled").asInstanceOf[Long]
+    lastRoundMetrics = roundObs.get
 
     // S4/J1: "fetch" = join pages on the language-normalized canonical key;
     // extraction runs ONLY on joined (scheduled) pages.
@@ -219,15 +250,28 @@ final class CrawlEngine(
       .select(col("round"), col("partition_id"), col("host_count"), col("url_count"),
         col("min_url_hash"), col("max_url_hash"))
 
-    // --- commit: tables first, checkpoint last (atomic resume point) ---
+    // --- commit: tables first, checkpoint last (atomic resume point).
+    // Every append parents from the CHECKPOINTED snapshot (via resolveBase),
+    // so a kill between any two commits leaves the partial round orphaned —
+    // the resumed round re-appends onto the same base with zero duplication.
     val fTid = frontierTable.overwrite(nextFrontier, s"round:$round")
-    val sTid = seenTable.append(fetchedHashes, s"round:$round")
-    val pTid = productsTable.append(products, s"round:$round")
-    val qTid = quarantineTable.append(quarantined, s"round:$round")
+    maybeCrash(1)
+    val sTid = seenTable.append(fetchedHashes, s"round:$round", seenBase)
+    maybeCrash(2)
+    val pTid = productsTable.append(products, s"round:$round",
+      productsTable.resolveBase(ckpt.products, "ingest"))
+    maybeCrash(3)
+    val qTid = quarantineTable.append(quarantined, s"round:$round",
+      quarantineTable.resolveBase(ckpt.quarantine, "ingest"))
+    maybeCrash(4)
     val schedTid = scheduleTable.append(
       scheduled.select(col("crawl_order"), lit(round).as("round"), col("host"),
-        col("url_norm"), col("url"), col("category"), col("attempt")))
-    val lTid = lineageTable.append(lineage)
+        col("url_norm"), col("url"), col("category"), col("attempt")),
+      s"round:$round", scheduleTable.resolveBase(ckpt.schedule, "ingest"))
+    maybeCrash(5)
+    val lTid = lineageTable.append(lineage, s"round:$round",
+      lineageTable.resolveBase(ckpt.lineage, "ingest"))
+    maybeCrash(6)
     writeCheckpoint(Checkpoint(round, fTid, sTid, pTid, qTid, schedTid, lTid,
       ckpt.scheduledTotal + scheduledCount))
     scheduled.unpersist()

@@ -93,18 +93,43 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def writeData(df: DataFrame, id: Int): (String, Long) = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dir = new Path(dataDir, f"snap-$id%06d-$nonce").toString
-    df.write.mode("errorifexists").parquet(dir)
-    val n = spark.read.parquet(dir).count()
+    // row count via plan-attached observe metrics: the count rides the write
+    // job for free instead of re-reading the freshly written parquet
+    val obs = org.apache.spark.sql.Observation(s"graft_write_$nonce")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode("errorifexists").parquet(dir)
+    val n = obs.get("n").asInstanceOf[Long]
     (dir, n)
   }
 
-  /** Append df as a new snapshot (previous data retained). Returns id. */
-  def append(df: DataFrame, lineageJson: String = ""): Int = {
+  /** The snapshot a new round commit must parent from: the LATEST snapshot
+    * iff every snapshot above `baseId` (the checkpointed id) carries
+    * `onlyLineage` (streaming-ingest appends are legitimate state); otherwise
+    * `baseId` itself — a torn round's commits (kill between table appends and
+    * the checkpoint write) are left orphaned rather than chained into the
+    * next round's manifest. */
+  def resolveBase(baseId: Int, onlyLineage: String): Int = {
+    var s = currentSnapshot
+    val curId = s.map(_.id).getOrElse(0)
+    while (s.exists(_.id > baseId)) {
+      if (!s.exists(_.lineageJson == onlyLineage)) return baseId
+      s = s.flatMap(x => snapshotAt(x.parent))
+    }
+    if (s.exists(_.id == baseId) || baseId == 0) curId else baseId
+  }
+
+  /** Append df as a new snapshot (previous data retained). Returns id.
+    * `baseId` >= 0 parents the new manifest from THAT snapshot instead of
+    * CURRENT — the resume-safety hook: a torn snapshot sitting on top of the
+    * checkpointed base is orphaned, never re-chained (see resolveBase). */
+  def append(df: DataFrame, lineageJson: String = "", baseId: Int = -1): Int = {
     val id = nextId
-    val parent = currentSnapshot.map(_.id).getOrElse(0)
+    val base = if (baseId >= 0) snapshotAt(baseId) else currentSnapshot
+    val parent = base.map(_.id).getOrElse(0)
     val (dir, n) = writeData(df, id)
-    val parentDirs = currentSnapshot.map(_.dataDirs).getOrElse(Nil)
-    val total = currentSnapshot.map(_.rowCount).getOrElse(0L) + n
+    val parentDirs = base.map(_.dataDirs).getOrElse(Nil)
+    val total = base.map(_.rowCount).getOrElse(0L) + n
     writeManifest(Snapshot(id, parent, parentDirs :+ dir, total, lineageJson))
     swingCurrent(id)
     id
@@ -134,15 +159,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * checkpointed id and the torn data stays orphaned — while pure ingest
     * appends remain visible without a checkpoint bump. */
   def readAtOrIngested(baseId: Int, onlyLineage: String): Option[DataFrame] = {
-    val cur = currentSnapshot
-    if (cur.isEmpty) return None
-    var s = cur
-    while (s.exists(_.id > baseId)) {
-      if (!s.exists(_.lineageJson == onlyLineage)) return readAt(baseId)
-      s = s.flatMap(x => snapshotAt(x.parent))
-    }
-    if (s.exists(_.id == baseId) || baseId == 0) cur.flatMap(readSnapshot)
-    else readAt(baseId)
+    if (currentSnapshot.isEmpty) return None
+    readAt(resolveBase(baseId, onlyLineage))
   }
 
   /** Time travel. */

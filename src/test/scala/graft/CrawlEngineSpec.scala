@@ -119,4 +119,53 @@ class CrawlEngineSpec extends SparkTestBase {
     import spark.implicits._
     assert(e2.seenTable.read().get.as[Long].collect().toSet == oracle._2)
   }
+
+  test("kill BETWEEN table commits (torn round) resumes exactly, no duplication") {
+    import spark.implicits._
+    val pages = Synthetic.pages(spark, PagesN, 4).toDF()
+    val robots = Synthetic.robots(spark).toDF()
+    val budgets = Synthetic.budgets(spark, Budget).toDF()
+    // tear points: after seen append (2), after products append (3), after
+    // every table but before the checkpoint (6) — the cases where a chained
+    // re-append would duplicate rows (ADVICE r01 high)
+    Seq(2, 3, 6).foreach { tearAt =>
+      val dir = freshDir()
+      val e = new CrawlEngine(spark, dir,
+        numPartitions = 8, defaultBudget = Budget, maxAttempts = MaxAttempts)
+      e.init(Synthetic.frontier(spark, N, 4).toDF())
+      e.runRound(pages, robots, budgets) // clean round 1
+      e.crashAfterCommit = tearAt
+      intercept[RuntimeException] { e.runRound(pages, robots, budgets) }
+      e.crashAfterCommit = -1
+      // resume on a fresh engine object (the "restart")
+      val e2 = new CrawlEngine(spark, dir,
+        numPartitions = 8, defaultBudget = Budget, maxAttempts = MaxAttempts)
+      assert(e2.readCheckpoint().get.round == 1, s"tearAt=$tearAt")
+      var last = -1L
+      var r = 0
+      while (last != 0 && r < 100) { last = e2.runRound(pages, robots, budgets); r += 1 }
+      assert(schedule(e2) == schedule(engine8), s"tearAt=$tearAt schedule")
+      assert(e2.seenTable.read().get.as[Long].collect().toSet == oracle._2, s"tearAt=$tearAt seen")
+      // products must equal the uninterrupted run EXACTLY (incl. multiplicity)
+      val got = e2.productsTable.read().get.select("url", "barcode")
+        .collect().map(r0 => (r0.getString(0), r0.getString(1))).sorted.toSeq
+      val want = engine8.productsTable.read().get.select("url", "barcode")
+        .collect().map(r0 => (r0.getString(0), r0.getString(1))).sorted.toSeq
+      assert(got == want, s"tearAt=$tearAt products")
+    }
+  }
+
+  test("observed round metrics equal recomputed values (A3, zero extra jobs)") {
+    val dir = freshDir()
+    val e = new CrawlEngine(spark, dir,
+      numPartitions = 8, defaultBudget = Budget, maxAttempts = MaxAttempts)
+    e.init(Synthetic.frontier(spark, N, 4).toDF())
+    val n = e.runRound(Synthetic.pages(spark, PagesN, 4).toDF(),
+      Synthetic.robots(spark).toDF(), Synthetic.budgets(spark, Budget).toDF())
+    assert(e.lastRoundMetrics("scheduled").asInstanceOf[Long] == n)
+    val schedRows = e.scheduleTable.read().get
+    assert(schedRows.count() == n)
+    assert(e.lastRoundMetrics("max_attempt").asInstanceOf[Int] ==
+      schedRows.agg(max(col("attempt"))).head.getInt(0))
+  }
 }
