@@ -32,9 +32,13 @@ object ExtractKernel extends Serializable {
       priceBefore: String,    // P9 (guarded; "Price not found")
       priceAfter: String,     // P10 (default "")
       offerDaysToAdd: Int,    // P5: first integer of the offer span, -1 = absent
+      ldFound: Boolean,       // P15: ld+json island present? absent -> the
+                              // reference's NameError failure path (metro:116-122)
       ldName: String, ldBrand: String, ldProductId: String, ldImage: String, // P15
       breadcrumbs: Seq[String], // Metro breadcrumb variant of P6
       metroPriceBefore: String, metroPriceAfter: String, // P16 (null -> "")
+      arNameXpath: String,    // P3: lxml xpath name; null = element found but
+                              // no direct text (lxml .text None, helpers:19-25)
       links: Seq[String])     // P14 raw hrefs ("N/A" for missing)
 
   final val NameSentinelEn = "Product name not found"
@@ -42,15 +46,33 @@ object ExtractKernel extends Serializable {
   final val BarcodeSentinel = "Product barcode not found"
   final val ImageSentinel = "Image not found"
   final val PriceSentinel = "Price not found"
+  // P15 defaults — metro_markets_extract_product_data.py:119-122 `.get(k, d)`
+  final val LdNameSentinel = "Product name not found"
+  final val LdBrandSentinel = "Brand name not found"
+  final val LdProductIdSentinel = "Product ID not found"
+  final val LdImageSentinel = "Image URL not found"
+  /** The xpath literal of metro_markets_extract_product_data.py:100. */
+  final val MetroArNameXPath =
+    "/html/body/div[3]/div[1]/main/div/div/div/div[2]/div/header/div/h5"
 
   private val DigitsRe = "\\d+".r
   private val PriceRe = "\\d+\\.\\d+".r
 
   /** P1/P2 — scripts/utils/extraction_helpers.py:3-17. select_one(sel).text,
-    * language-specific sentinel when missing. NOTE: the reference does NOT
-    * strip here (it strips in P4 but not P1/P2). */
+    * language-specific sentinel when missing OR when the extracted text is
+    * empty (`name if name else sentinel` — empty string is falsy; whitespace
+    * is not: the reference does NOT strip here). */
   def productName(root: Elem, selector: String, sentinel: String): String =
-    MiniHtml.selectOne(root, selector).map(_.text).getOrElse(sentinel)
+    MiniHtml.selectOne(root, selector).map(_.text).filter(_.nonEmpty).getOrElse(sentinel)
+
+  /** P3 — extraction_helpers.py:19-25 + metro:100-102: lxml xpath over the
+    * re-serialized soup; first match's `.text` (direct text only, may be
+    * None -> null), sentinel when the path matches nothing. */
+  def metroArName(root: Elem): String =
+    MiniHtml.selectXPath(root, MetroArNameXPath) match {
+      case Nil => NameSentinelAr
+      case el :: _ => MiniHtml.directText(el).orNull
+    }
 
   /** P4 — carrefour_extract_data.py:26-32: `.css-1nnke3o` text stripped, "" default. */
   def brandName(root: Elem): String =
@@ -121,18 +143,34 @@ object ExtractKernel extends Serializable {
   }
 
   /** P15 — metro_markets_extract_product_data.py:114-122: first
-    * `script[type=application/ld+json]` -> (name, brand, productID, image). */
-  def ldJson(root: Elem): (String, String, String, String) = {
+    * `script[type=application/ld+json]` -> (found, name, brand, productID,
+    * image). Field semantics are Python `.get(k, default)`: MISSING key ->
+    * the reference's per-field sentinel; key present with null -> "" (None
+    * lands as the empty cell in the sink). `found=false` (no island, or
+    * unparseable JSON) is the reference's NameError/exception failure path —
+    * the whole URL fails and re-enters the retry loop (metro:176-182). */
+  def ldJson(root: Elem): (Boolean, String, String, String, String) = {
     try {
       MiniHtml.selectOne(root, "script[type=application/ld+json]") match {
-        case None => ("", "", "", "")
+        case None => (false, "", "", "", "")
         case Some(el) =>
           val j = mapper.readTree(el.text.trim)
-          def f(k: String): String = { val n = j.path(k); if (n.isMissingNode || n.isNull) "" else n.asText() }
-          val brand = { val b = j.path("brand"); if (b.isObject) b.path("name").asText("") else b.asText("") }
-          (f("name"), brand, f("productID"), f("image"))
+          def f(k: String, sentinel: String): String = {
+            val n = j.path(k)
+            if (n.isMissingNode) sentinel else if (n.isNull) "" else n.asText()
+          }
+          // brand is a string in metro's ld+json; an object form would be the
+          // raw dict in the reference (unwritable) — we take its name
+          val brand = {
+            val b = j.path("brand")
+            if (b.isMissingNode) LdBrandSentinel
+            else if (b.isObject) b.path("name").asText("")
+            else if (b.isNull) "" else b.asText()
+          }
+          (true, f("name", LdNameSentinel), brand,
+            f("productID", LdProductIdSentinel), f("image", LdImageSentinel))
       }
-    } catch { case _: Exception => ("", "", "", "") }
+    } catch { case _: Exception => (false, "", "", "", "") }
   }
 
   /** Metro breadcrumb categories — metro_markets_extract_product_data.py:48-81:
@@ -164,7 +202,7 @@ object ExtractKernel extends Serializable {
     val root = MiniHtml.parse(if (html == null) "" else html)
     val sentinel = if (lang == "ar") NameSentinelAr else NameSentinelEn
     val pAfter = priceAfter(root)
-    val (ldN, ldB, ldP, ldI) = ldJson(root)
+    val (ldFnd, ldN, ldB, ldP, ldI) = ldJson(root)
     PageFields(
       name = productName(root, ".css-106scfp", sentinel),
       brand = brandName(root),
@@ -174,10 +212,11 @@ object ExtractKernel extends Serializable {
       priceBefore = priceBefore(root, pAfter),
       priceAfter = pAfter,
       offerDaysToAdd = offerDaysToAdd(root),
-      ldName = ldN, ldBrand = ldB, ldProductId = ldP, ldImage = ldI,
+      ldFound = ldFnd, ldName = ldN, ldBrand = ldB, ldProductId = ldP, ldImage = ldI,
       breadcrumbs = breadcrumbs(root),
       metroPriceBefore = metroPrice(root, "before"),
       metroPriceAfter = metroPrice(root, "after"),
+      arNameXpath = metroArName(root),
       links = links(root))
   }
 }

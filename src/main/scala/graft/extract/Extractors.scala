@@ -106,6 +106,63 @@ object Extractors {
       .select((Product.sinkOrder ++ passThrough).map(col): _*)
   }
 
+  /** The Metro product projection — metro_markets_extract_product_data.py:
+    * 90-169. Differences from Carrefour, reproduced exactly:
+    *  - name_en/brand_en/product_id/image_url come from the ld+json island
+    *    with the reference's `.get(k, default)` sentinels (metro:119-122);
+    *    a page WITHOUT the island is the reference's NameError failure path
+    *    (the URL fails and retries) -> those rows are dropped here [P15];
+    *  - name_ar is the lxml-xpath extraction (metro:100-102) [P3];
+    *  - categories come from the breadcrumb trail, same [1..6] off-by-one;
+    *  - P17 price-swap (metro:129-131): when price_before is absent it takes
+    *    price_after's value and price_after empties;
+    *  - offer_start_date = runDate iff the PRE-swap price_before was present
+    *    (metro:126 — note: keyed on price_BEFORE, where Carrefour keys on
+    *    price_after, carrefour:151);
+    *  - barcode/brand_ar/offer_end_date are hard-coded '' (metro:137-139,163).
+    */
+  def metroProduct(pivoted: DataFrame, runDate: String,
+      passThrough: Seq[String] = Nil): DataFrame = {
+    val en = col("en")
+    val ar = col("ar")
+    def crumb(side: Column, i: Int): Column =
+      coalesce(try_element_at(side.getField("breadcrumbs"), lit(i + 1)), lit(""))
+    val pbRaw = coalesce(en.getField("metroPriceBefore"), lit(""))
+    val paRaw = coalesce(en.getField("metroPriceAfter"), lit(""))
+    val swapped = pbRaw === "" // P17: before missing -> before<-after, after<-None
+    val nameAr = when(ar.isNull, lit(ExtractKernel.NameSentinelAr))
+      .otherwise(coalesce(ar.getField("arNameXpath"), lit("")))
+    val cols: Seq[Column] = Seq(
+      lit("MetroMarkets").as("merchant"),
+      en.getField("ldProductId").as("product_id"),
+      lit("").as("brand_ar"),
+      en.getField("ldBrand").as("brand_en"),
+      lit("").as("barcode"),
+      nameAr.as("name_ar"),
+      en.getField("ldName").as("name_en")) ++
+      Seq("one", "two", "three", "four", "five", "six").zipWithIndex.map {
+        case (w, i) => crumb(en, i + 1).as(s"category_${w}_eng") } ++
+      Seq(lit("").as("category_seven_eng"), lit("").as("category_eight_eng"),
+        lit("").as("category_nine_eng")) ++
+      Seq("one", "two", "three", "four", "five", "six").zipWithIndex.map {
+        case (w, i) => when(ar.isNull, lit("")).otherwise(crumb(ar, i + 1)).as(s"category_${w}_ar") } ++
+      Seq(lit("").as("category_seven_ar"), lit("").as("category_eight_ar"),
+        lit("").as("category_nine_ar"),
+        when(swapped, paRaw).otherwise(pbRaw).as("price_before"),
+        when(swapped, lit("")).otherwise(paRaw).as("price_after"),
+        when(!swapped, lit(runDate)).otherwise(lit("")).as("offer_start_date"),
+        lit("").as("offer_end_date"),
+        coalesce(col("url_en"), lit("")).as("url"),
+        lit("").as("brand_image_url"),
+        en.getField("ldImage").as("image_url"),
+        lit("Website").as("source_type"),
+        lit(runDate).as("crawled_on"))
+    pivoted
+      .filter(en.isNotNull && en.getField("ldFound")) // NameError path dropped
+      .select(cols ++ passThrough.map(col): _*)
+      .select((Product.sinkOrder ++ passThrough).map(col): _*)
+  }
+
   /** P18 — offer-nulling (seoudi:311-314 / spinneys:455-458): when the offer
     * price equals the regular price there is no offer. */
   def offerNulled(priceBefore: Column, priceAfter: Column): (Column, Column) = {

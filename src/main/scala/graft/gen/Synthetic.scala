@@ -49,6 +49,9 @@ object Synthetic extends Serializable {
   def category(id: Long): String = s"cat${(mix2(id, 23) % 8).abs.toInt}"
 
   def hasName(id: Long): Boolean = (mix2(id, 1) & 15) != 0       // ~94%
+  /** Element present but empty text — the falsy-string sentinel branch of
+    * extraction_helpers.py:6 (`name if name else sentinel`). */
+  def emptyName(id: Long): Boolean = hasName(id) && (mix2(id, 20) & 31) == 0
   def hasBrand(id: Long): Boolean = (mix2(id, 2) & 7) != 0       // ~88%
   def nCats(id: Long): Int = ((mix2(id, 3) % 10).abs).toInt      // 0..9
   /** 0 = barCodes[], 1 = ean only, 2 = empty barCodes + ean, 3 = none */
@@ -112,9 +115,11 @@ object Synthetic extends Serializable {
       case _ => // no island at all -> sentinel
     }
     sb.append("</head><body>")
-    // name (P1/P2)
+    // name (P1/P2); emptyName exercises the found-but-empty sentinel branch
     if (hasName(id))
-      sb.append("""<h1 class="css-106scfp">""").append(if (en) nameEn(id) else nameAr(id)).append("</h1>")
+      sb.append("""<h1 class="css-106scfp">""")
+        .append(if (emptyName(id)) "" else if (en) nameEn(id) else nameAr(id))
+        .append("</h1>")
     // brand (P4)
     if (hasBrand(id))
       sb.append("""<div class="css-1nnke3o"> """).append(if (en) brandEn(id) else brandAr(id)).append(" </div>")
@@ -165,10 +170,102 @@ object Synthetic extends Serializable {
   }
 
   /** The golden "extracted text per url" — the name field, exactly what the
-    * reference's extractor yields for this page (sentinels included). */
+    * reference's extractor yields for this page (sentinels included; an
+    * empty extracted name is falsy in Python and also yields the sentinel). */
   def expectedText(id: Long, lang: String): String =
-    if (hasName(id)) { if (lang == "en") nameEn(id) else nameAr(id) }
+    if (hasName(id) && !emptyName(id)) { if (lang == "en") nameEn(id) else nameAr(id) }
     else if (lang == "en") "Product name not found" else "لم يتم العثور على اسم المنتج"
+
+  // ---------------- Metro corpus (metro_markets_extract_product_data.py) ----
+
+  /** Field cases for the ld+json island: 0 = key missing (-> reference
+    * sentinel), 1 = key null (-> ''), else present. */
+  def mLdCase(id: Long, salt: Long): Int = {
+    val m = (mix2(id, salt) & 15).toInt
+    if (m == 0) 0 else if (m == 1) 1 else 2
+  }
+  def mHasLd(id: Long): Boolean = (mix2(id, 30) & 7) != 0   // ~88%; absent = NameError/failure path
+  def mHasPb(id: Long): Boolean = (mix2(id, 34) & 1) == 0   // 50% -> exercises the P17 swap
+  def mHasPa(id: Long): Boolean = (mix2(id, 35) & 3) != 0   // 75%
+  /** AR xpath name: 0/1 = present, 2 = h5 wraps a child elem (lxml .text None),
+    * 3 = h5 absent (sentinel). */
+  def mArCase(id: Long): Int = (mix2(id, 36) % 4).abs.toInt
+  def mNCrumbs(id: Long): Int = (mix2(id, 37) % 7).abs.toInt
+  def mNameEn(id: Long): String = s"Metro Product $id"
+  def mNameAr(id: Long): String = s"منتج مترو $id"
+  def mBrand(id: Long): String = s"MBrand${(mix2(id, 38) % 25).abs}"
+  def mUrl(id: Long, lang: String): String =
+    if (lang == "ar") s"https://metro.example.com/ar/product/metro-item-$id"
+    else s"https://metro.example.com/product/metro-item-$id"
+
+  /** Synthetic Metro page: ld+json island (en semantics), the exact lxml
+    * xpath path to the Arabic h5, breadcrumbs, and the .price before/after
+    * pair, each branch-controlled. */
+  def metroPageHtml(id: Long, lang: String): String = {
+    val sb = new StringBuilder(2048)
+    sb.append("<!DOCTYPE html><html><head><title>m").append(id).append("</title>")
+    if (mHasLd(id)) {
+      def fld(k: String, salt: Long, v: String): String = mLdCase(id, salt) match {
+        case 0 => "" // key missing
+        case 1 => s""""$k":null,"""
+        case _ => s""""$k":"$v","""
+      }
+      sb.append("""<script type="application/ld+json">{""")
+        .append(fld("name", 31, mNameEn(id)))
+        .append(fld("brand", 32, mBrand(id)))
+        .append(fld("productID", 33, s"mp-$id"))
+        .append(fld("image", 39, s"https://img.example.com/m$id.jpg"))
+        .append(""""@type":"Product"}</script>""")
+    }
+    sb.append("</head><body>")
+    // two decoy divs so the target is body's div[3]
+    sb.append("<div>decoy</div><div>decoy</div>")
+    // the exact path /html/body/div[3]/div[1]/main/div/div/div/div[2]/div/header/div/h5
+    sb.append("<div><div><main><div><div><div><div>first</div><div><div><header><div>")
+    mArCase(id) match {
+      case 2 => sb.append("<h5><span>wrapped</span></h5>")
+      case 3 => // no h5 at the path -> sentinel
+      case _ => sb.append("<h5>").append(if (lang == "ar") mNameAr(id) else mNameEn(id)).append("</h5>")
+    }
+    sb.append("</div></header></div></div></div></div></div></main></div></div>")
+    // breadcrumb trail (first crumb dropped by the reference)
+    sb.append("""<ul class="breadcrumb"><li><a>Home</a></li>""")
+    (1 until math.max(mNCrumbs(id), 1)).foreach { i =>
+      sb.append("<li><a>").append(catName(id, i, lang)).append("</a></li>")
+    }
+    sb.append("<li>plain</li></ul>")
+    // metro price block (P16)
+    sb.append("""<div class="price">""")
+    if (mHasPb(id)) sb.append("""<p class="before">LE """).append(priceBeforeVal(id)).append("</p>")
+    if (mHasPa(id)) sb.append("""<p class="after">LE """).append(priceAfterVal(id)).append("</p>")
+    sb.append("</div>")
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  /** Golden extracted text for a Metro page: en = the ld+json name exactly as
+    * `.get('name', sentinel)` yields it (null -> ''); ar = the xpath name. */
+  def metroExpectedText(id: Long, lang: String): String =
+    if (lang == "ar") mArCase(id) match {
+      case 2 => "" // lxml .text None -> empty cell
+      case 3 => "لم يتم العثور على اسم المنتج"
+      case _ => mNameAr(id)
+    } else mLdCase(id, 31) match {
+      case 0 => "Product name not found"
+      case 1 => ""
+      case _ => mNameEn(id)
+    }
+
+  /** 2n Metro page rows (en + ar per id). */
+  def metroPages(spark: SparkSession, n: Long, numPartitions: Int = 32): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(0, n, 1, numPartitions).flatMap { id =>
+      Seq("en", "ar").map { lang =>
+        Page(mUrl(id, lang), warcTs(id), metroPageHtml(id, lang).getBytes("UTF-8"),
+          metroExpectedText(id, lang), lang)
+      }
+    }
+  }
 
   // ---------------- Spark generators ---------------------------------------
 

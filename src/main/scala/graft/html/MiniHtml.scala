@@ -154,14 +154,18 @@ object MiniHtml {
   }
 
   private def indexOfClose(html: String, from: Int, tag: String): Int = {
+    // case-insensitive scan via regionMatches — no per-iteration lowercased
+    // copy of the whole document (this runs once per script/style tag in the
+    // one-parse-per-page hot path)
     val pat = "</" + tag
     var i = from
-    while (true) {
-      val idx = html.toLowerCase.indexOf(pat, i)
-      if (idx < 0) return -1
-      val after = idx + pat.length
-      if (after >= html.length || html.charAt(after) == '>' || html.charAt(after).isWhitespace) return idx
-      i = idx + 1
+    val n = html.length
+    while (i <= n - pat.length) {
+      if (html.regionMatches(true, i, pat, 0, pat.length)) {
+        val after = i + pat.length
+        if (after >= n || html.charAt(after) == '>' || html.charAt(after).isWhitespace) return i
+      }
+      i += 1
     }
     -1
   }
@@ -331,4 +335,49 @@ object MiniHtml {
   /** First match or None — BeautifulSoup select_one. */
   def selectOne(root: Elem, selector: String): Option[Elem] =
     select(root, selector).headOption
+
+  // -------------------------------------------------------------------
+  // XPath subset — absolute positional paths (the lxml surface the
+  // reference uses: extraction_helpers.py:19-25 with the literal path
+  // metro_markets_extract_product_data.py:100).
+  // -------------------------------------------------------------------
+
+  /** lxml `element.text` semantics: the text BEFORE the first child element,
+    * or None when there is none (unlike BeautifulSoup `.text`, which
+    * concatenates all descendant text). */
+  def directText(e: Elem): Option[String] = {
+    val sb = new StringBuilder
+    var done = false
+    e.children.foreach {
+      case Text(v) if !done => sb.append(v)
+      case _: Elem => done = true
+      case _ =>
+    }
+    if (sb.isEmpty) None else Some(sb.toString)
+  }
+
+  /** Evaluate an absolute positional XPath like
+    * `/html/body/div[3]/div[1]/main/div/div/div/div[2]/div/header/div/h5`:
+    * each step selects child ELEMENTS by tag; `tag[i]` takes the i-th
+    * (1-based) among same-tag siblings, bare `tag` keeps all of them
+    * (standard XPath child-axis semantics). Returns matches in document
+    * order. */
+  def selectXPath(root: Elem, path: String): List[Elem] = {
+    val StepRe = "([a-zA-Z0-9-]+)(?:\\[(\\d+)\\])?".r
+    val steps = path.split("/").filter(_.nonEmpty).toList.map {
+      case StepRe(tag, idx) => (tag.toLowerCase, Option(idx).map(_.toInt))
+      case other => return Nil // unsupported step form
+    }
+    var current: List[Elem] = List(root)
+    steps.foreach { case (tag, idx) =>
+      current = current.flatMap { e =>
+        val byTag = e.children.collect { case c: Elem if c.tag == tag => c }
+        idx match {
+          case Some(i) => if (i >= 1 && i <= byTag.length) List(byTag(i - 1)) else Nil
+          case None => byTag.toList
+        }
+      }
+    }
+    current
+  }
 }

@@ -809,6 +809,22 @@ object GraftQueries {
     Extractors.carrefourProduct(pivoted, "2024-11-10")
   }
 
+  /** Metro pipeline end-to-end (P3 xpath name, P15 ld+json with reference
+    * sentinels, P16 metro prices, P17 price-swap, metro offer_start rule)
+    * over the deterministic Metro corpus; AR page dropped for every 13th id
+    * to exercise the missing-Arabic branch. Rows-only (HTML kernel);
+    * byte-identity vs the pure oracle is MetroExtractSpec. */
+  private def qExtractMetro(s: SparkSession, dir: String): DataFrame = {
+    val pages = Synthetic.metroPages(s, 300, 8).toDF()
+      .withColumn("id", regexp_extract(col("url"), "metro-item-(\\d+)", 1).cast("long"))
+      .filter(!(col("lang") === "ar" && col("id") % 13 === 0))
+      .drop("id")
+      .withColumn("url_key", regexp_replace(col("url"), "/ar/product/", "/product/"))
+    val withFields = Extractors.withPageFields(pages)
+    val pivoted = Extractors.pivotLangs(withFields, "url_key")
+    Extractors.metroProduct(pivoted, "2024-11-10")
+  }
+
   /** Native 64-bit SimHash (expression-only, xxhash64 votes — the production
     * variant of q_simhash; no DuckDB equivalent hash, rows-only). */
   private def qSimhash64Native(s: SparkSession, dir: String): DataFrame = {
@@ -895,6 +911,7 @@ object GraftQueries {
     "q_join3" -> (qJoin3 _),
     "q_url_canon_full" -> (qUrlCanonFull _),
     "q_extract_products" -> (qExtractProducts _),
+    "q_extract_metro" -> (qExtractMetro _),
     "q_crawl_schedule" -> (qCrawlSchedule _),
     "q_simhash64_native" -> (qSimhash64Native _),
     "q_minhash_lsh_native" -> (qMinhashLshNative _),

@@ -108,6 +108,16 @@ class ExtractKernelSpec extends AnyFunSuite {
       assert(f.ldProductId == s"ld-$id")
       assert(f.ldImage == s"https://img.example.com/ld-$id.jpg")
     }
+    // reference `.get(k, default)` sentinels (metro:119-122): missing key ->
+    // sentinel, present-null -> '', no island -> found=false (failure path)
+    val missing = ExtractKernel.ldJson(graft.html.MiniHtml.parse(
+      """<script type="application/ld+json">{"@type":"Product"}</script>"""))
+    assert(missing == (true, "Product name not found", "Brand name not found",
+      "Product ID not found", "Image URL not found"))
+    val nulls = ExtractKernel.ldJson(graft.html.MiniHtml.parse(
+      """<script type="application/ld+json">{"name":null,"brand":null,"productID":null,"image":null}</script>"""))
+    assert(nulls == (true, "", "", "", ""))
+    assert(ExtractKernel.ldJson(graft.html.MiniHtml.parse("<p>no island</p>"))._1 == false)
   }
 
   test("breadcrumbs (Metro P6 variant): li-without-a yields empty crumb") {
