@@ -64,7 +64,9 @@ object GraphQLExtract {
     val regP = item.getField("price_range").getField("maximum_price")
       .getField("regular_price").getField("value")
     val noOffer = finalP === regP
-    val fmt = (c: Column) => format_number(c, 2)
+    // DECIMAL(18,2) string form — format_number would insert grouping
+    // separators (e.g. "1,234.56") the reference's raw floats never carry
+    val fmt = (c: Column) => c.cast("decimal(18,2)").cast("string")
     (fmt(regP),
       when(noOffer, lit("")).otherwise(fmt(finalP)),
       when(noOffer, lit("")).otherwise(coalesce(item.getField("special_from_date"), lit(""))),
@@ -97,6 +99,99 @@ object GraphQLExtract {
     * plus one row per split barcode. */
   def withBarcodeRows(products: DataFrame): DataFrame =
     Extractors.explodeBarcodes(products)
+
+  // ---------------- full 34-column Seoudi detail projection ----------------
+
+  /** Detail-response schema — the reference's detail query returns a SINGLE
+    * `data.product` object (seoudi_extract_data.py:213-269, consumed at
+    * :284: `.json().get('data', {}).get('product', {})`), unlike the list
+    * query's `items` array. */
+  val detailSchema: StructType = StructType.fromDDL(
+    """data STRUCT<product: STRUCT<
+      |  id: LONG, sku: STRING, name: STRING, url_key: STRING,
+      |  special_from_date: STRING, special_to_date: STRING,
+      |  brand: STRUCT<name: STRING>,
+      |  thumbnail: STRUCT<url: STRING>,
+      |  categories: ARRAY<STRUCT<name: STRING, level: INT, url_path: STRING>>,
+      |  price_range: STRUCT<maximum_price: STRUCT<
+      |    final_price: STRUCT<value: DOUBLE>,
+      |    regular_price: STRUCT<value: DOUBLE>>>,
+      |  attributes: ARRAY<STRUCT<key: STRING, value: STRING>>
+      |>>""".stripMargin)
+
+  def parseDetail(doc: Column): Column =
+    from_json(doc, detailSchema).getField("data").getField("product")
+
+  /** Price -> string exactly once, no grouping separators: DECIMAL(18,2)
+    * canonical form ("1234.56"), '' for null (the reference keeps raw floats
+    * and the sink writes '' for None; format_number would insert thousands
+    * separators the reference never produces). */
+  def priceStr(c: Column): Column =
+    when(c.isNull, lit("")).otherwise(c.cast("decimal(18,2)").cast("string"))
+
+  /** The full 34-column Seoudi Product from an EN detail doc + optional AR
+    * detail doc (seoudi_extract_data.py:275-399):
+    *  - categories are 0-BASED here (category_one = categories[0], :317-328
+    *    — unlike the Carrefour/Metro breadcrumb off-by-one);
+    *  - P18 offer-nulling (:307-314): final == regular -> price_after,
+    *    offer_start, offer_end all empty (null-safe ==, mirroring Python);
+    *  - P19 barcode concat (:297-304); P22 url synthesis (:317);
+    *  - the AR side contributes name/brand/categories only (:338-357), all
+    *    None when the AR fetch failed (ar_doc null, :333-336).
+    * Input: DataFrame with `en_doc` and nullable `ar_doc` string columns.
+    * Output adds `__seq` (the EN doc's product id) for the caller's
+    * deterministic first-wins barcode dedup (processed_barcodes, :359-361).
+    */
+  def seoudiProduct(docs: DataFrame, runDate: String, urlPrefix: String): DataFrame = {
+    val en = parseDetail(col("en_doc"))
+    val ar = parseDetail(col("ar_doc"))
+    def s(c: Column): Column = coalesce(c, lit(""))
+    def cat(side: Column, i: Int): Column =
+      s(try_element_at(side.getField("categories"), lit(i)).getField("name"))
+    val finalP = en.getField("price_range").getField("maximum_price")
+      .getField("final_price").getField("value")
+    val regP = en.getField("price_range").getField("maximum_price")
+      .getField("regular_price").getField("value")
+    val noOffer = finalP <=> regP
+    val words = Seq("one", "two", "three", "four", "five", "six", "seven", "eight", "nine")
+    val cols: Seq[Column] = Seq(
+      lit("Seoudi").as("merchant"),
+      s(en.getField("id").cast("string")).as("product_id"),
+      s(ar.getField("brand").getField("name")).as("brand_ar"),
+      s(en.getField("brand").getField("name")).as("brand_en"),
+      barcodeConcat(en).as("barcode"),
+      s(ar.getField("name")).as("name_ar"),
+      s(en.getField("name")).as("name_en")) ++
+      words.zipWithIndex.map { case (w, i) => cat(en, i + 1).as(s"category_${w}_eng") } ++
+      words.zipWithIndex.map { case (w, i) => cat(ar, i + 1).as(s"category_${w}_ar") } ++
+      Seq(
+        priceStr(regP).as("price_before"),
+        when(noOffer, lit("")).otherwise(priceStr(finalP)).as("price_after"),
+        when(noOffer, lit("")).otherwise(s(en.getField("special_from_date"))).as("offer_start_date"),
+        when(noOffer, lit("")).otherwise(s(en.getField("special_to_date"))).as("offer_end_date"),
+        concat(lit(urlPrefix), s(en.getField("url_key"))).as("url"),
+        lit("").as("brand_image_url"),
+        s(en.getField("thumbnail").getField("url")).as("image_url"),
+        lit("Website").as("source_type"),
+        lit(runDate).as("crawled_on"),
+        en.getField("id").as("__seq"))
+    docs.select(cols: _*)
+  }
+
+  /** First-wins barcode gate + the reference's sink rows: the processed_
+    * barcodes set keeps the FIRST product per barcode in crawl order
+    * (:359-361), then writes the combined-barcode row PLUS one row per split
+    * barcode — even for single-barcode products (:399-445: the combined
+    * write and the unconditional split loop). */
+  def seoudiSinkRows(products34seq: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("barcode")).orderBy(col("__seq"))
+    val kept = products34seq
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__seq")
+    kept.unionByName(
+      kept.withColumn("barcode", explode(split(col("barcode"), ", "))))
+  }
 
   // -------------------- deterministic synthetic corpus --------------------
 

@@ -444,7 +444,7 @@ object GraftQueries {
     val mins = (0 until 8).map(i => s"min(md5('${i}_' || token)) AS h$i").mkString(",\n  ")
     s"""SELECT doc_id,
        |  $mins
-       |FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 1500)
        |GROUP BY doc_id""".stripMargin
   }
 
@@ -507,7 +507,7 @@ object GraftQueries {
     """WITH toks AS (
       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
       |    generate_subscripts(string_split(text, ' '), 1) AS pos
-      |  FROM documents),
+      |  FROM documents WHERE doc_id < 1500),
       |tris AS (
       |  SELECT DISTINCT doc_id, source, tri FROM (
       |    SELECT doc_id, source,
@@ -742,6 +742,136 @@ object GraftQueries {
       |    json_extract_string(doc, '$.data.products.items[0].url_key') AS url
       |FROM docs""".stripMargin
 
+  /** The full 34-column Seoudi Product from GraphQL detail docs with the
+    * EN⋈AR detail merge (seoudi_extract_data.py:275-445): en+ar docs built
+    * with the SAME string concatenation in both engines (AR missing for
+    * every 5th key -> all-AR-fields-empty branch; null brand; 0..10
+    * categories; offer-nulling when final==regular; alternative_skus
+    * present/equal/absent), then first-wins barcode dedup (barcodes shared
+    * across key pairs) and the reference's combined-plus-per-barcode sink
+    * rows. Prices stringified as DECIMAL(18,2) in both engines. */
+  private def qGraphqlProduct(s: SparkSession, dir: String): DataFrame = {
+    import graft.extract.GraphQLExtract
+    val k = col("p_partkey")
+    val g = k - (k % 2)
+    def str(c: Column): Column = c.cast("string")
+    def money(cents: Column): Column =
+      concat(floor(cents / 100).cast("long").cast("string"), lit("."),
+        lpad((cents % 100).cast("string"), 2, "0"))
+    val rc = (k * 37 % 89900) + 6000
+    val fc = when(k % 3 === 0, rc).otherwise(rc - ((k * 13 % 5000) + 1))
+    val nCats = (k % 11).cast("int")
+    def cats(prefix: String): Column = concat(lit("["), array_join(
+      when(nCats > 0, transform(sequence(lit(0), nCats - 1), i =>
+        concat(lit("{\"name\":\"" + prefix), str(k), lit("-"), str(i), lit("\"}"))))
+        .otherwise(array().cast("array<string>")), ","), lit("]"))
+    val attrs = when(g % 3 === 0,
+        concat(lit("[{\"key\":\"alternative_skus\",\"value\":\"A"), str(g), lit("\"}]")))
+      .when(g % 3 === 1, lit("[{\"key\":\"color\",\"value\":\"red\"}]"))
+      .otherwise(concat(lit("[{\"key\":\"alternative_skus\",\"value\":\"S"), str(g), lit("\"}]")))
+    def brandJson(prefix: String): Column =
+      when(k % 4 === 0, lit("null"))
+        .otherwise(concat(lit("{\"name\":\"" + prefix), col("p_brand"), lit("\"}")))
+    def doc(name: Column, brand: Column, catsC: Column): Column = concat(
+      lit("{\"data\":{\"product\":{\"id\":"), str(k),
+      lit(",\"sku\":\"S"), str(g),
+      lit("\",\"name\":\""), name,
+      lit("\",\"url_key\":\"k"), str(k),
+      lit("\",\"special_from_date\":\"2024-11-01\",\"special_to_date\":\"2024-11-30\",\"brand\":"), brand,
+      lit(",\"thumbnail\":{\"url\":\"https://img/s"), str(k),
+      lit(".jpg\"},\"categories\":"), catsC,
+      lit(",\"price_range\":{\"maximum_price\":{\"final_price\":{\"value\":"), money(fc),
+      lit("},\"regular_price\":{\"value\":"), money(rc),
+      lit("}}},\"attributes\":"), attrs, lit("}}}"))
+    val docs = t(s, dir, "part").select(
+      doc(col("p_name"), brandJson(""), cats("Cat")).as("en_doc"),
+      when(k % 5 === 0, lit(null).cast("string"))
+        .otherwise(doc(concat(lit("AR "), col("p_name")), brandJson("AB "), cats("Arc"))).as("ar_doc"))
+    GraphQLExtract.seoudiSinkRows(
+      GraphQLExtract.seoudiProduct(docs, "2024-11-10", "https://seoudisupermarket.com/en/"))
+  }
+
+  private val qGraphqlProductSql = {
+    def docSql(name: String, brandPrefix: String, catPrefix: String) =
+      s"""'{"data":{"product":{"id":' || k || ',"sku":"S' || g || '","name":"' || $name ||
+         |    '","url_key":"k' || k ||
+         |    '","special_from_date":"2024-11-01","special_to_date":"2024-11-30","brand":' ||
+         |    CASE WHEN k % 4 = 0 THEN 'null' ELSE '{"name":"$brandPrefix' || p_brand || '"}' END ||
+         |    ',"thumbnail":{"url":"https://img/s' || k || '.jpg"},"categories":[' ||
+         |    coalesce(array_to_string(list_transform(range(0, ncats), i -> '{"name":"$catPrefix' || k || '-' || i || '"}'), ','), '') ||
+         |    '],"price_range":{"maximum_price":{"final_price":{"value":' ||
+         |    (fc // 100) || '.' || lpad(CAST(fc % 100 AS VARCHAR), 2, '0') ||
+         |    '},"regular_price":{"value":' || (rc // 100) || '.' || lpad(CAST(rc % 100 AS VARCHAR), 2, '0') ||
+         |    '}}},"attributes":' ||
+         |    CASE WHEN g % 3 = 0 THEN '[{"key":"alternative_skus","value":"A' || g || '"}]'
+         |         WHEN g % 3 = 1 THEN '[{"key":"color","value":"red"}]'
+         |         ELSE '[{"key":"alternative_skus","value":"S' || g || '"}]' END || '}}}'""".stripMargin
+    val enCats = (1 to 9).map { i =>
+      val w = Seq("one", "two", "three", "four", "five", "six", "seven", "eight", "nine")(i - 1)
+      s"coalesce(json_extract_string(en_doc, '$$.data.product.categories[${i - 1}].name'), '') AS category_${w}_eng"
+    }.mkString(",\n  ")
+    val arCats = (1 to 9).map { i =>
+      val w = Seq("one", "two", "three", "four", "five", "six", "seven", "eight", "nine")(i - 1)
+      s"coalesce(json_extract_string(ar_doc, '$$.data.product.categories[${i - 1}].name'), '') AS category_${w}_ar"
+    }.mkString(",\n  ")
+    val allCols = graft.model.Product.sinkOrder.mkString(", ")
+    val colsExceptBarcode = graft.model.Product.sinkOrder.map {
+      case "barcode" => "unnest(string_split(barcode, ', ')) AS barcode"
+      case c => c
+    }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT p_partkey AS k, p_partkey - (p_partkey % 2) AS g, p_name, p_brand,
+       |    (p_partkey * 37 % 89900) + 6000 AS rc,
+       |    CASE WHEN p_partkey % 3 = 0 THEN (p_partkey * 37 % 89900) + 6000
+       |         ELSE (p_partkey * 37 % 89900) + 6000 - ((p_partkey * 13 % 5000) + 1) END AS fc,
+       |    p_partkey % 11 AS ncats
+       |  FROM part),
+       |docs AS (
+       |  SELECT k,
+       |    ${docSql("p_name", "", "Cat")} AS en_doc,
+       |    CASE WHEN k % 5 = 0 THEN NULL ELSE ${docSql("'AR ' || p_name", "AB ", "Arc")} END AS ar_doc
+       |  FROM base),
+       |plucked AS (
+       |  SELECT k,
+       |  'Seoudi' AS merchant,
+       |  coalesce(json_extract_string(en_doc, '$$.data.product.id'), '') AS product_id,
+       |  coalesce(json_extract_string(ar_doc, '$$.data.product.brand.name'), '') AS brand_ar,
+       |  coalesce(json_extract_string(en_doc, '$$.data.product.brand.name'), '') AS brand_en,
+       |  CASE WHEN json_extract_string(en_doc, '$$.data.product.attributes[0].key') = 'alternative_skus'
+       |            AND json_extract_string(en_doc, '$$.data.product.attributes[0].value')
+       |                <> json_extract_string(en_doc, '$$.data.product.sku')
+       |       THEN json_extract_string(en_doc, '$$.data.product.sku') || ', ' ||
+       |            json_extract_string(en_doc, '$$.data.product.attributes[0].value')
+       |       ELSE json_extract_string(en_doc, '$$.data.product.sku') END AS barcode,
+       |  coalesce(json_extract_string(ar_doc, '$$.data.product.name'), '') AS name_ar,
+       |  coalesce(json_extract_string(en_doc, '$$.data.product.name'), '') AS name_en,
+       |  $enCats,
+       |  $arCats,
+       |  CAST(CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.regular_price.value') AS DECIMAL(18,2)) AS VARCHAR) AS price_before,
+       |  CASE WHEN CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.final_price.value') AS DECIMAL(18,2))
+       |            = CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.regular_price.value') AS DECIMAL(18,2))
+       |       THEN '' ELSE CAST(CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.final_price.value') AS DECIMAL(18,2)) AS VARCHAR) END AS price_after,
+       |  CASE WHEN CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.final_price.value') AS DECIMAL(18,2))
+       |            = CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.regular_price.value') AS DECIMAL(18,2))
+       |       THEN '' ELSE coalesce(json_extract_string(en_doc, '$$.data.product.special_from_date'), '') END AS offer_start_date,
+       |  CASE WHEN CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.final_price.value') AS DECIMAL(18,2))
+       |            = CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.regular_price.value') AS DECIMAL(18,2))
+       |       THEN '' ELSE coalesce(json_extract_string(en_doc, '$$.data.product.special_to_date'), '') END AS offer_end_date,
+       |  'https://seoudisupermarket.com/en/' || coalesce(json_extract_string(en_doc, '$$.data.product.url_key'), '') AS url,
+       |  '' AS brand_image_url,
+       |  coalesce(json_extract_string(en_doc, '$$.data.product.thumbnail.url'), '') AS image_url,
+       |  'Website' AS source_type,
+       |  '2024-11-10' AS crawled_on
+       |  FROM docs),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY barcode ORDER BY k) AS rn FROM plucked)
+       |  WHERE rn = 1)
+       |SELECT $allCols FROM kept
+       |UNION ALL
+       |SELECT $colsExceptBarcode FROM kept""".stripMargin
+  }
+
   // ======================================================================
   // Classic relational headliners (bench comparability)
   // ======================================================================
@@ -907,6 +1037,7 @@ object GraftQueries {
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_graphql_pluck" -> (qGraphqlPluck _),
+    "q_graphql_product" -> (qGraphqlProduct _),
     "q_agg" -> (qAgg _),
     "q_join3" -> (qJoin3 _),
     "q_url_canon_full" -> (qUrlCanonFull _),
@@ -949,6 +1080,7 @@ object GraftQueries {
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_graphql_pluck" -> qGraphqlPluckSql,
+    "q_graphql_product" -> qGraphqlProductSql,
     "q_agg" -> qAggSql,
     "q_join3" -> qJoin3Sql)
 }
