@@ -193,6 +193,38 @@ object GraphQLExtract {
       kept.withColumn("barcode", explode(split(col("barcode"), ", "))))
   }
 
+  // ---------------- G3: ConfigurableProduct variants explode ---------------
+
+  /** Variants fragment schema — spinneys_extract_data.py:667-704 (`... on
+    * ConfigurableProduct { variants { attributes { code } product { name sku
+    * special_price url_key ... } } }`). */
+  val variantsSchema: StructType = StructType.fromDDL(
+    """data STRUCT<product: STRUCT<sku: STRING, name: STRING,
+      |  variants: ARRAY<STRUCT<
+      |    attributes: ARRAY<STRUCT<code: STRING>>,
+      |    product: STRUCT<name: STRING, sku: STRING, url_key: STRING,
+      |      special_price: DOUBLE>>>
+      |>>""".stripMargin)
+
+  /** G3 — one row per ConfigurableProduct variant via explode_outer: simple
+    * products (no/empty variants array) keep one row with empty variant
+    * fields, configurables fan out to their variant products. Input: (doc
+    * string [+ passthrough cols]); parent sku/name come from the outer
+    * product. */
+  def explodeVariants(docs: DataFrame, passThrough: Seq[String] = Nil): DataFrame = {
+    val item = from_json(col("doc"), variantsSchema).getField("data").getField("product")
+    val v = col("v").getField("product")
+    docs.select(passThrough.map(col) ++ Seq(
+        item.getField("sku").as("parent_sku"),
+        item.getField("name").as("parent_name"),
+        explode_outer(item.getField("variants")).as("v")): _*)
+      .select(passThrough.map(col) ++ Seq(
+        col("parent_sku"), col("parent_name"),
+        coalesce(v.getField("sku"), lit("")).as("variant_sku"),
+        coalesce(v.getField("name"), lit("")).as("variant_name"),
+        coalesce(v.getField("url_key"), lit("")).as("variant_url_key")): _*)
+  }
+
   // -------------------- deterministic synthetic corpus --------------------
 
   /** Synthetic GraphQL detail documents exercising every branch: null brand

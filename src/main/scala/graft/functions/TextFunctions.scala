@@ -47,11 +47,15 @@ object TextFunctions {
   }
 
   /** MinHash signature (numHashes values) over a shingle array: minhash_i =
-    * min over shingles of xxhash64(i || shingle). Expression-only. */
+    * min over shingles of xxhash64(i || shingle). Expression-only, ONE pass:
+    * a single `aggregate` folds a numHashes-wide running-minimum array (the
+    * per-hash formulation scanned — and re-derived — the shingle array once
+    * per hash; higher-order functions are interpreted, so that multiplied
+    * real work, not just codegen). */
   def minhash(shingleArr: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      aggregate(shingleArr, lit(Long.MaxValue),
-        (acc, sh) => least(acc, xxhash64(concat(i.cast("string"), lit("_"), sh)))))
+    aggregate(shingleArr, array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, sh) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, i) => least(m, xxhash64(concat(i.cast("string"), lit("_"), sh)))))
 
   /** LSH band keys from a minhash signature: bands of `rowsPerBand` hashes,
     * each hashed to one bucket key. */

@@ -448,16 +448,29 @@ object GraftQueries {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** Per-bucket candidate cap for LSH band joins (standard LSH practice):
+    * a degenerate bucket (boilerplate shingles, tiny vocabulary) otherwise
+    * turns the pair join O(n²). Buckets over the cap are dropped entirely —
+    * deterministic, mirrored exactly in the DuckDB oracle. */
+  private val LshBucketCap = 20
+
   /** MinHash-LSH candidate pairs: 4 bands of 2 hashes; docs sharing any
-    * band key are near-dup candidates. */
+    * band key are near-dup candidates. Buckets larger than LshBucketCap are
+    * dropped before the self-join (the count runs as a bucket-partitioned
+    * window — linear in bucket size, unlike the join it guards). */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sig = qMinhashSig(s, dir)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = bands.as("a")
-    val b = bands.as("b")
+    val bucketW = Window.partitionBy(col("band"), col("key"))
+    val capped = bands
+      .withColumn("__bucket_n", count(lit(1)).over(bucketW))
+      .filter(col("__bucket_n") <= LshBucketCap)
+      .drop("__bucket_n")
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -474,21 +487,24 @@ object GraftQueries {
        |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 1500)
        |  GROUP BY doc_id),
        |bands AS (
-       |  $bandRows)
+       |  $bandRows),
+       |capped AS (
+       |  SELECT doc_id, band, key FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 20)
        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
+       |FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
   }
 
   /** n-gram Jaccard near-dup: token-trigram sets, pairwise Jaccard (milli,
     * floor-quantized) over pairs within the same source partition. */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < 1500)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // trigrams via the shuffle-free array expression (TextFunctions.shingles)
+    // — the earlier posexplode + per-doc window shuffled every token once
     val tris = docs
-      .select(col("doc_id"), col("source"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("tri", concat_ws(" ", col("tok"), lead("tok", 1).over(w), lead("tok", 2).over(w)))
-      .filter(size(split(col("tri"), " ")) === 3)
-      .select(col("doc_id"), col("source"), col("tri")).distinct()
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.shingles(split(col("text"), " "), 3))).as("tri"))
     val sizes = tris.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = tris.as("x").join(tris.as("y"),
         col("x.tri") === col("y.tri") && col("x.source") === col("y.source") &&
@@ -603,27 +619,46 @@ object GraftQueries {
       |SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rank, vec_id, dot
       |FROM d ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin
 
-  /** IVF assignment (the scale path for ANN): centroids = first 8 vectors;
-    * every vector assigned to its nearest centroid by exact quantized L2². */
-  private def qAnnIvfAssign(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), quantized(col("embedding")).as("q"))
-    val cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("centroid_id"), col("q").as("cq"))
-    val dists = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        aggregate(zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d2"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("centroid_id"))
-    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("d2"))
+  /** Deterministic IVF centroid count: k ≈ √n (the scaling sweet spot —
+    * bucket size and bucket count both grow as √n, keeping the
+    * within-cluster pair work at O(n^1.5) instead of O(n²/const)).
+    * Centroids = the first k vectors (deterministic, same rule in SQL). */
+  private def ivfK(s: SparkSession, dir: String): Long = {
+    val n = t(s, dir, "embeddings").count() // parquet metadata count
+    math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
   }
 
+  /** Per-vector distances to every centroid, ranked (rn = 1 is the nearest;
+    * rn <= p is the multi-probe assignment). */
+  private def ivfRanked(s: SparkSession, dir: String): DataFrame = {
+    val k = ivfK(s, dir)
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cq"))
+    val dists = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("centroid_id"),
+        aggregate(zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("centroid_id"))
+    dists.withColumn("rn", row_number().over(w))
+  }
+
+  /** IVF assignment (the scale path for ANN): k ≈ √n deterministic
+    * centroids; every vector assigned to its nearest by exact quantized
+    * L2². */
+  private def qAnnIvfAssign(s: SparkSession, dir: String): DataFrame =
+    ivfRanked(s, dir).filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("d2"))
+
+  private val ivfKSql =
+    "(SELECT CAST(greatest(1, ceil(sqrt(count(*)))) AS BIGINT) FROM embeddings)"
+
   private val qAnnIvfAssignSql =
-    """WITH ev AS (
+    s"""WITH ev AS (
       |  SELECT vec_id,
       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
       |    generate_subscripts(embedding, 1) AS pos
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS centroid_id, pos, x AS cx FROM ev WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS centroid_id, pos, x AS cx FROM ev WHERE vec_id < $ivfKSql),
       |d AS (
       |  SELECT ev.vec_id, c.centroid_id, CAST(sum((ev.x - c.cx) * (ev.x - c.cx)) AS BIGINT) AS d2
       |  FROM ev JOIN c USING (pos) GROUP BY ev.vec_id, c.centroid_id)
@@ -632,38 +667,42 @@ object GraftQueries {
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
       |  FROM d) WHERE rn = 1""".stripMargin
 
-  /** Embedding-cosine near-dup pairs, the IVF way: pairs are only compared
-    * INSIDE their IVF cluster (the scale path — the cross join never touches
-    * the full corpus), similarity = exact quantized inner product above a
-    * threshold. */
+  /** Embedding-cosine near-dup pairs, the IVF way: multi-probe (each vector
+    * enters its 2 nearest of the ≈√n clusters), pairs compared only inside a
+    * shared probe cluster, deduped, exact quantized inner product above a
+    * threshold. O(n^1.5) pair work — the cross join never touches the full
+    * corpus and cluster populations shrink as the corpus grows. */
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
-    val assign = qAnnIvfAssign(s, dir).select(col("vec_id"), col("centroid_id"))
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), quantized(col("embedding")).as("q"))
-    val withVec = assign.join(emb, "vec_id")
-    val pairs = withVec.as("x").join(withVec.as("y"),
+    val probes = ivfRanked(s, dir).filter(col("rn") <= 2)
+      .select(col("vec_id"), col("centroid_id"), col("q"))
+    val pairs = probes.as("x").join(probes.as("y"),
       col("x.centroid_id") === col("y.centroid_id") && col("x.vec_id") < col("y.vec_id"))
     pairs.select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
         aggregate(zip_with(col("x.q"), col("y.q"), (a, b) => a * b), lit(0L), (acc, v) => acc + v).as("dot"))
       .filter(col("dot") >= 300000L)
+      .distinct() // a pair sharing both probe clusters appears twice
   }
 
   private val qEmbedNearDupSql =
-    """WITH ev AS (
+    s"""WITH ev AS (
       |  SELECT vec_id,
       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
       |    generate_subscripts(embedding, 1) AS pos
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS cid, pos, x AS cx FROM ev WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS cid, pos, x AS cx FROM ev WHERE vec_id < $ivfKSql),
       |d AS (
       |  SELECT ev.vec_id, c.cid, CAST(sum((ev.x - c.cx) * (ev.x - c.cx)) AS BIGINT) AS d2
       |  FROM ev JOIN c USING (pos) GROUP BY ev.vec_id, c.cid),
       |asg AS (SELECT vec_id, cid FROM (
       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |  FROM d) WHERE rn = 1)
-      |SELECT x.vec_id AS a_id, y.vec_id AS b_id, CAST(sum(ex.x * ey.x) AS BIGINT) AS dot
-      |FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
-      |JOIN ev ex ON ex.vec_id = x.vec_id
-      |JOIN ev ey ON ey.vec_id = y.vec_id AND ex.pos = ey.pos
+      |  FROM d) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+      |SELECT a_id, b_id, CAST(sum(ex.x * ey.x) AS BIGINT) AS dot
+      |FROM cand
+      |JOIN ev ex ON ex.vec_id = a_id
+      |JOIN ev ey ON ey.vec_id = b_id AND ex.pos = ey.pos
       |GROUP BY 1, 2
       |HAVING sum(ex.x * ey.x) >= 300000""".stripMargin
 
@@ -872,6 +911,66 @@ object GraftQueries {
        |SELECT $colsExceptBarcode FROM kept""".stripMargin
   }
 
+  /** G3 — ConfigurableProduct variants explode (spinneys:667-704): docs with
+    * 0..3 variants built identically in both engines; explode_outer keeps a
+    * single empty-variant row for simple products. */
+  private def qVariantExplode(s: SparkSession, dir: String): DataFrame = {
+    import graft.extract.GraphQLExtract
+    val k = col("p_partkey")
+    def str(c: Column): Column = c.cast("string")
+    val nVars = (k % 4).cast("int")
+    val varArr = when(nVars > 0, transform(sequence(lit(0), nVars - 1), i =>
+      concat(lit("{\"attributes\":[{\"code\":\"size\"}],\"product\":{\"name\":\""),
+        col("p_name"), lit(" v"), str(i),
+        lit("\",\"sku\":\"S"), str(k), lit("-"), str(i),
+        lit("\",\"url_key\":\"v"), str(k), lit("-"), str(i), lit("\"}}"))))
+      .otherwise(array().cast("array<string>"))
+    val doc = concat(lit("{\"data\":{\"product\":{\"sku\":\"S"), str(k),
+      lit("\",\"name\":\""), col("p_name"),
+      lit("\",\"variants\":["), array_join(varArr, ","), lit("]}}}"))
+    val docs = t(s, dir, "part").select(k.as("p_partkey"), doc.as("doc"))
+    GraphQLExtract.explodeVariants(docs, passThrough = Seq("p_partkey"))
+  }
+
+  private val qVariantExplodeSql =
+    """WITH docs AS (
+      |  SELECT p_partkey AS k,
+      |    '{"data":{"product":{"sku":"S' || p_partkey || '","name":"' || p_name ||
+      |    '","variants":[' ||
+      |    coalesce(array_to_string(list_transform(range(0, p_partkey % 4), i ->
+      |      '{"attributes":[{"code":"size"}],"product":{"name":"' || p_name || ' v' || i ||
+      |      '","sku":"S' || p_partkey || '-' || i ||
+      |      '","url_key":"v' || p_partkey || '-' || i || '"}}'), ','), '') ||
+      |    ']}}}' AS doc
+      |  FROM part)
+      |SELECT k AS p_partkey,
+      |  json_extract_string(doc, '$.data.product.sku') AS parent_sku,
+      |  json_extract_string(doc, '$.data.product.name') AS parent_name,
+      |  coalesce(json_extract_string(doc, '$.data.product.variants[' || i || '].product.sku'), '') AS variant_sku,
+      |  coalesce(json_extract_string(doc, '$.data.product.variants[' || i || '].product.name'), '') AS variant_name,
+      |  coalesce(json_extract_string(doc, '$.data.product.variants[' || i || '].product.url_key'), '') AS variant_url_key
+      |FROM docs, range(0, 4) t(i)
+      |WHERE i = 0 OR json_extract(doc, '$.data.product.variants[' || i || ']') IS NOT NULL""".stripMargin
+
+  /** A3 — the pagination count barrier (spinneys:216-238: fetch pages of
+    * `page_size` until `total_retrieved >= total_count`): per category, the
+    * number of page fetches the loop performs and the final page's row
+    * count. */
+  private def qCountBarrier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_count"))
+      .select(col("source"), col("total_count"),
+        ceil(col("total_count") / 100.0).cast("long").as("pages_fetched"),
+        (col("total_count") - (ceil(col("total_count") / 100.0).cast("long") - 1) * 100)
+          .as("last_page_rows"))
+
+  private val qCountBarrierSql =
+    """SELECT source, CAST(count(*) AS BIGINT) AS total_count,
+      |  CAST(ceil(count(*) / 100.0) AS BIGINT) AS pages_fetched,
+      |  CAST(count(*) - (CAST(ceil(count(*) / 100.0) AS BIGINT) - 1) * 100 AS BIGINT) AS last_page_rows
+      |FROM documents GROUP BY source""".stripMargin
+
   // ======================================================================
   // Classic relational headliners (bench comparability)
   // ======================================================================
@@ -964,21 +1063,30 @@ object GraftQueries {
   }
 
   /** Native MinHash+LSH candidate pairs via TextFunctions (trigram shingles,
-    * 16 hashes, 4 bands; xxhash64-based -> rows-only). */
+    * 16 hashes, 4 bands; xxhash64-based -> rows-only). Runs the FULL corpus:
+    * degenerate buckets (the low-vocabulary corpus collides heavily, as real
+    * boilerplate does) are dropped by the per-bucket cap instead of capping
+    * the corpus — the shape that survives 100 TB. */
   private def qMinhashLshNative(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
-    // bounded: the synthetic corpus has a ~30-word vocabulary, so shingle
-    // band collisions grow quadratically with corpus size; cap the candidate
-    // universe so the pair join stays representative, not explosive
-    // persisted: the self-join would otherwise recompute the (large)
-    // minhash expression tree on both sides
-    val sig = t(s, dir, "documents").filter(col("doc_id") < 1500)
+    // persisted at BOTH boundaries: (1) the signature — project-collapse
+    // would otherwise inline the (interpreted higher-order) minhash fold
+    // into each of the 4 band slices, quadrupling the real work; (2) the
+    // capped bands — the self-join reads them twice
+    val sig = t(s, dir, "documents")
       .select(col("doc_id"),
-        lshBands(minhash(shingles(wsTokens(col("text")), 3), 16), 4).as("bands"))
-      .select(col("doc_id"), explode(col("bands")).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+        minhash(shingles(wsTokens(col("text")), 3), 16).as("sig"))
       .persist()
-    sig.as("a").join(sig.as("b"),
+    val bands = sig
+      .select(col("doc_id"), explode(lshBands(col("sig"), 4)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val bucketW = Window.partitionBy(col("band"), col("key"))
+    val capped = bands
+      .withColumn("__bucket_n", count(lit(1)).over(bucketW))
+      .filter(col("__bucket_n") <= LshBucketCap)
+      .drop("__bucket_n")
+      .persist()
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -1038,6 +1146,8 @@ object GraftQueries {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_graphql_pluck" -> (qGraphqlPluck _),
     "q_graphql_product" -> (qGraphqlProduct _),
+    "q_variant_explode" -> (qVariantExplode _),
+    "q_count_barrier" -> (qCountBarrier _),
     "q_agg" -> (qAgg _),
     "q_join3" -> (qJoin3 _),
     "q_url_canon_full" -> (qUrlCanonFull _),
@@ -1081,6 +1191,8 @@ object GraftQueries {
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_graphql_pluck" -> qGraphqlPluckSql,
     "q_graphql_product" -> qGraphqlProductSql,
+    "q_variant_explode" -> qVariantExplodeSql,
+    "q_count_barrier" -> qCountBarrierSql,
     "q_agg" -> qAggSql,
     "q_join3" -> qJoin3Sql)
 }
