@@ -63,18 +63,16 @@ object Bench {
       .withColumn("attempt", lit(0))
     val pending = enriched.filter(!col("is_processed"))
     val seen = enriched.filter(col("is_processed")).select("url_hash")
-    val dedupW = Window.partitionBy(col("url_hash")).orderBy(col("discovered_seq"))
-    val deduped = pending
-      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1).drop("__rn")
     // expectedSeen: overestimate from the (metadata-only) raw count instead
     // of paying a count job over the seen subset; Bloom sizing only needs an
     // upper bound for the fpp guarantee
     val expectedSeen = math.max(raw.count() / 4, 1L)
-    val unseen = UrlSeen.antiJoin(deduped, seen, "url_hash", expectedSeen, 0.03)
-    val (now, _) = Scheduler.schedule(
-      unseen,
+    // the narrow-shuffle round: strings cross the shuffle wire exactly once
+    val (now, _) = Scheduler.scheduleRoundNarrow(
+      pending,
       graft.gen.Synthetic.robots(spark).toDF(),
       graft.gen.Synthetic.budgets(spark, Int.MaxValue).toDF(),
+      seen, expectedSeen, 0.03,
       defaultBudget = Int.MaxValue, numPartitions = ShufflePartitions)
     val n = now.count()
     spark.catalog.clearCache()
@@ -161,7 +159,10 @@ object Bench {
     // On this shared-bus sandbox the shuffle-bound probe plateaus past ~8
     // threads (host memory contention, documented in BASELINE.md); the
     // CPU-bound probe is the cleaner proxy for adding executors. ----
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "1").toInt
+    // 3 interleaved rounds by default: BENCH_r*.json must record the
+    // min-of-rounds controlled numbers (BASELINE.md methodology), never a
+    // single host-throttling episode
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val cores = Seq(2, 8, 32)
     val tSched = scala.collection.mutable.Map(cores.map(_ -> Double.MaxValue): _*)
     val tExtr = scala.collection.mutable.Map(cores.map(_ -> Double.MaxValue): _*)

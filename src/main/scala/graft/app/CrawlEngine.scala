@@ -144,22 +144,17 @@ final class CrawlEngine(
 
     val frontierCols = pending.columns.map(col).toSeq
 
-    // A1: first-wins dedup of duplicate frontier entries by url_hash
-    val dedupW = Window.partitionBy(col("url_hash")).orderBy(col("discovered_seq"))
-    val deduped = pending
-      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1).drop("__rn")
-
-    // J4: Bloom + exact anti-join against seen. Bloom sizing reads the seen
-    // cardinality from the snapshot MANIFEST (rowCount is maintained at every
-    // commit) — no full-table count scan per round.
+    // A1/J4/O1-O3 as ONE narrow-shuffle round: robots (shuffle-free fold on
+    // wide rows), then dedup -> Bloom+exact seen gate -> budgets -> global
+    // order over the narrow (url_hash, host, depth, host_rank,
+    // discovered_seq, attempt) projection; url/category strings rejoin once
+    // at the end. Bloom sizing reads the seen cardinality from the snapshot
+    // MANIFEST (rowCount maintained at every commit) — no count scan.
     val seen = seenTable.readAt(seenBase)
       .getOrElse(Seq.empty[Long].toDF("url_hash"))
     val seenCount = seenTable.snapshotAt(seenBase).map(_.rowCount).getOrElse(0L)
-    val unseen = UrlSeen.antiJoin(deduped, seen, "url_hash", seenCount, bloomFpp)
-
-    // O1-O3: robots, budgets, deterministic order
-    val (scheduled0, deferred) =
-      Scheduler.schedule(unseen, robots, budgets, defaultBudget, numPartitions)
+    val (scheduled0, deferred) = Scheduler.scheduleRoundNarrow(
+      pending, robots, budgets, seen, seenCount, bloomFpp, defaultBudget, numPartitions)
     // A3: plan-attached observe metrics — the scheduled count and per-round
     // host stats ride the materializing action for free (the reference's
     // count barriers, spinneys_extract_data.py:216-238, re-expressed as

@@ -87,15 +87,23 @@ object Multimodal {
     }
   }
 
-  /** Repartition media by size-balanced buckets before decoding: payloads
-    * are wildly skewed (videos vs thumbnails); bucketing by cumulative size
-    * keeps decode tasks even. Approximation: hash-bucket weighted by
-    * ceil(bytes / targetBytesPerTask). */
-  def sizeBalanced(media: Dataset[MediaRow], numPartitions: Int): Dataset[MediaRow] = {
+  /** Size-aware repartition before decoding: the partition COUNT is derived
+    * from the corpus' total payload bytes (≈ targetBytesPerTask of media per
+    * decode task), so a corpus 100× the size gets 100× the decode tasks
+    * instead of 100×-fatter ones. Assignment within that count is a uniform
+    * id-hash: with rows ≫ partitions the per-task byte totals concentrate
+    * tightly around targetBytesPerTask (law of large numbers); a single
+    * payload larger than the target is indivisible and lower-bounds the
+    * tail no matter the partitioner. One cheap metadata/agg pass for the
+    * total, then one shuffle. */
+  def sizeScaledPartitions(
+      media: Dataset[MediaRow],
+      targetBytesPerTask: Long = 64L * 1024 * 1024): Dataset[MediaRow] = {
     val df = media.toDF()
-    val bucket = pmod(xxhash64(col("media_id")), lit(numPartitions))
+    val totalBytes = df.agg(sum(octet_length(col("payload")))).head.getLong(0)
+    val numPartitions = math.max(1L, (totalBytes + targetBytesPerTask - 1) / targetBytesPerTask).toInt
     import media.sparkSession.implicits._
-    df.repartition(numPartitions, bucket).as[MediaRow]
+    df.repartition(numPartitions, xxhash64(col("media_id"))).as[MediaRow]
   }
 
   /** Deterministic synthetic media corpus for tests/bench. */

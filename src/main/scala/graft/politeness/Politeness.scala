@@ -55,6 +55,20 @@ object Politeness {
       .drop("__path", "__rules", "__allow")
   }
 
+  /** O2 — derive per-round host budgets from robots crawl delays (the
+    * reference's 1 s/page pacing, metro_markets_extract_product_urls.py:91,
+    * generalized: a host whose strictest rule says `crawl_delay_ms` can
+    * absorb at most roundDurationMs / delay fetches per round). Hosts keep
+    * their most conservative (max) delay across rules; budget >= 1 so a
+    * polite host still drains. */
+  def budgetsFromCrawlDelay(robots: DataFrame, roundDurationMs: Long): DataFrame =
+    robots.groupBy(col("host"))
+      .agg(max(col("crawl_delay_ms")).as("__delay"))
+      .select(col("host"),
+        greatest(lit(1L),
+          floor(lit(roundDurationMs) / greatest(col("__delay"), lit(1))).cast("long"))
+          .cast("int").as("per_round"))
+
   /** Per-host budget: rows ranked within host by the priority key; rank <=
     * budget are schedulable this round, the rest are deferred. Returns the
     * frontier with a boolean `scheduled_now`. Hosts without a budget row get

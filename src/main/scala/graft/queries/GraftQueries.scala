@@ -313,6 +313,25 @@ object GraftQueries {
       |  SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn
       |  FROM events) WHERE rn > 1000""".stripMargin
 
+  /** O2 — per-round host budgets derived from robots crawl delays (the
+    * reference's 1 s/page pacing as a quota): budget = round duration /
+    * the host's most conservative delay. Robots rows synthesized from
+    * supplier. */
+  private def qCrawlDelayBudget(s: SparkSession, dir: String): DataFrame = {
+    val robots = t(s, dir, "supplier").select(
+      concat(lit("h"), (col("s_suppkey") % 50).cast("string")).as("host"),
+      lit("/").as("path_prefix"), lit(true).as("allow"),
+      ((col("s_suppkey") % 10 + 1) * 250).cast("int").as("crawl_delay_ms"))
+    graft.politeness.Politeness.budgetsFromCrawlDelay(robots, 60000L)
+  }
+
+  private val qCrawlDelayBudgetSql =
+    """SELECT host,
+      |  CAST(greatest(1, CAST(floor(60000 / greatest(dly, 1)) AS BIGINT)) AS INTEGER) AS per_round
+      |FROM (SELECT 'h' || (s_suppkey % 50) AS host,
+      |        max((s_suppkey % 10 + 1) * 250) AS dly
+      |      FROM supplier GROUP BY 1)""".stripMargin
+
   /** O4 — retry/backoff round bookkeeping: attempts joined to quarantine
     * condition attempt >= 5 (seoudi:17-18,38-46). */
   private def qRetryQuarantine(s: SparkSession, dir: String): DataFrame =
@@ -1129,6 +1148,7 @@ object GraftQueries {
     "q_union_provenance" -> (qUnionProvenance _),
     "q_crawl_order" -> (qCrawlOrder _),
     "q_host_budget" -> (qHostBudget _),
+    "q_crawl_delay_budget" -> (qCrawlDelayBudget _),
     "q_resume_skip" -> (qResumeSkip _),
     "q_retry_quarantine" -> (qRetryQuarantine _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1174,6 +1194,7 @@ object GraftQueries {
     "q_union_provenance" -> qUnionProvenanceSql,
     "q_crawl_order" -> qCrawlOrderSql,
     "q_host_budget" -> qHostBudgetSql,
+    "q_crawl_delay_budget" -> qCrawlDelayBudgetSql,
     "q_resume_skip" -> qResumeSkipSql,
     "q_retry_quarantine" -> qRetryQuarantineSql,
     "q_dedup_exact" -> qDedupExactSql,

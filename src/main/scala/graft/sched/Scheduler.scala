@@ -101,6 +101,46 @@ object Scheduler {
     (ordered, deferred)
   }
 
+  /** Full scheduling round with NARROW shuffles: robots filtering runs on
+    * the wide rows first (broadcast rules + expression fold — shuffle-free),
+    * then dedup, the seen gate, the budget windows and the range-partitioned
+    * global ordering all shuffle only
+    * (url_hash, host, depth, host_rank, discovered_seq, attempt) — the long
+    * url/url_norm/category strings cross the wire exactly once, in the final
+    * rejoin keyed by the unique (url_hash, discovered_seq). Cuts per-round
+    * shuffle bytes several-fold versus shuffling wide rows through all four
+    * exchanges; identical output (CrawlEngineSpec oracle + SchedulerSpec).
+    * Returns (scheduled-with-crawl_order, deferred), both wide. */
+  def scheduleRoundNarrow(
+      pending: DataFrame,
+      robots: DataFrame,
+      budgets: DataFrame,
+      seen: DataFrame,
+      expectedSeen: Long,
+      bloomFpp: Double,
+      defaultBudget: Int,
+      numPartitions: Int): (DataFrame, DataFrame) = {
+    import graft.seen.UrlSeen
+    import org.apache.spark.sql.expressions.Window
+    val allowed = Politeness.applyRobots(pending, robots)
+    val narrowCols = Seq("url_hash", "host", "depth", "host_rank", "discovered_seq", "attempt")
+    val joinKeys = Seq("url_hash", "discovered_seq")
+    // persisted: both the narrow pipeline and the string side scan `allowed`
+    val allowedP = allowed.persist()
+    val strings = allowedP.drop(narrowCols.filterNot(joinKeys.contains): _*)
+    val narrow = allowedP.select(narrowCols.map(col): _*)
+    val dedupW = Window.partitionBy(col("url_hash")).orderBy(col("discovered_seq"))
+    val deduped = narrow
+      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1).drop("__rn")
+    val unseen = UrlSeen.antiJoin(deduped, seen, "url_hash", expectedSeen, bloomFpp)
+    val budgeted = Politeness.applyBudgets(unseen, budgets, defaultBudget).persist()
+    val now = budgeted.filter(col("scheduled_now")).drop("scheduled_now")
+    val deferred = budgeted.filter(!col("scheduled_now")).drop("scheduled_now")
+    val ordered = withCrawlOrder(
+      now, priorityColNames.map(col), numPartitions)
+    (ordered.join(strings, joinKeys), deferred.join(strings, joinKeys))
+  }
+
   /** Salted repartition-by-host for the fetch/extract stage: a host's rows
     * land on `saltFactor` partitions (not 1, not all), bounding both skew
     * and the number of concurrent workers per host. */

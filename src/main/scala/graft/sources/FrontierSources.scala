@@ -49,6 +49,30 @@ object FrontierSources {
   def pendingUrls(frontier: DataFrame): DataFrame =
     frontier.filter(!col("is_processed")).select("url", "discovered_seq")
 
+  /** The Carrefour category TREE json (bookscraper/.../Carrefour_Spider.py:
+    * 62-99 -> data.json): a 2-level map
+    * `{cat: {Name, Xpath, "Sub-Categories Xpaths": {sub: {Name, "Sub Xpath"}}}}`
+    * flattened to one row per (category, sub_category); categories without
+    * sub-entries keep one row with empty sub fields. */
+  def readCategoryTree(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val subSchema = MapType(StringType, StructType(Seq(
+      StructField("Name", StringType), StructField("Sub Xpath", StringType))))
+    val topSchema = MapType(StringType, StructType(Seq(
+      StructField("Name", StringType), StructField("Xpath", StringType),
+      StructField("Sub-Categories Xpaths", subSchema))))
+    val raw = spark.read.option("wholetext", "true").text(path)
+      .select(from_json(col("value"), topSchema).as("m"))
+    raw.select(explode(col("m")).as(Seq("category", "v")))
+      .select(col("category"), col("v.Name").as("category_name"),
+        col("v.Xpath").as("category_xpath"),
+        explode_outer(col("v.`Sub-Categories Xpaths`")).as(Seq("sub_category", "sv")))
+      .select(col("category"), col("category_name"), col("category_xpath"),
+        coalesce(col("sub_category"), lit("")).as("sub_category"),
+        coalesce(col("sv.Name"), lit("")).as("sub_name"),
+        coalesce(col("sv.`Sub Xpath`"), lit("")).as("sub_xpath"))
+  }
+
   /** S2 — category-seed JSON: {"categories":[{"name":..,"url":..}]}
     * (metro_markets_extract_category_urls.py:52-53) or the Oscar key variant
     * {"categories":[{"category":..,"url":..}]} (oscar_extract_category_urls

@@ -8,7 +8,8 @@ class MultimodalSpec extends SparkTestBase {
     val media = Multimodal.syntheticMedia(spark, 200, 4)
     val feats1 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
     val feats2 = Multimodal.decodeFeatures(
-      Multimodal.sizeBalanced(media, 7)).collect().sortBy(_.media_id)
+      Multimodal.sizeScaledPartitions(media, targetBytesPerTask = 64 * 1024))
+      .collect().sortBy(_.media_id)
     assert(feats1.length == 200)
     // partition layout must not change the result (mapPartitions purity)
     feats1.zip(feats2).foreach { case (a, b) =>
@@ -33,6 +34,22 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.syntheticMedia(spark, 300, 4), maxSide = 256)
       .collect().filter(_.kind != "audio")
     feats.foreach(f => assert(math.max(f.width, f.height) <= 256, f.toString))
+  }
+
+  test("sizeScaledPartitions: task count tracks total payload bytes, rows preserved") {
+    val media = Multimodal.syntheticMedia(spark, 400, 4)
+    val totalBytes = media.toDF()
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.octet_length(
+          org.apache.spark.sql.functions.col("payload")))).head.getLong(0)
+    val target = 100L * 1024
+    val scaled = Multimodal.sizeScaledPartitions(media, targetBytesPerTask = target)
+    val expectedParts = ((totalBytes + target - 1) / target).toInt
+    assert(scaled.rdd.getNumPartitions == expectedParts)
+    assert(scaled.count() == 400)
+    // double the target -> roughly half the tasks (count scales with bytes)
+    val coarser = Multimodal.sizeScaledPartitions(media, targetBytesPerTask = 2 * target)
+    assert(coarser.rdd.getNumPartitions == ((totalBytes + 2 * target - 1) / (2 * target)).toInt)
   }
 
   test("features are unit-norm") {

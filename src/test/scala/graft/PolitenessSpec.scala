@@ -48,4 +48,18 @@ class PolitenessSpec extends SparkTestBase {
     assert(got == want)
     spark.catalog.clearCache()
   }
+
+  test("budgets from crawl_delay: round duration / strictest delay, floor >= 1") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com", "/", true, 1000),    // 60000/1000 = 60
+      ("a.com", "/x", false, 250),   // max delay wins -> still 1000
+      ("b.com", "/", true, 40000),   // 60000/40000 = 1
+      ("c.com", "/", true, 70000),   // floor 0 -> clamped to 1
+      ("d.com", "/", true, 0))       // delay 0 -> treated as 1ms -> 60000
+      .toDF("host", "path_prefix", "allow", "crawl_delay_ms")
+    val got = Politeness.budgetsFromCrawlDelay(robots, 60000L)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a.com" -> 60, "b.com" -> 1, "c.com" -> 1, "d.com" -> 60000))
+  }
 }

@@ -101,4 +101,32 @@ class SourcesSinksSpec extends SparkTestBase {
     assert(written.count() == 5)
     assert(nullCells >= 0)
   }
+
+  test("category tree json (bookscraper data.json shape) flattens to rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tree").toString
+    val json =
+      """{
+        |  "Groceries": {
+        |    "Name": "Groceries",
+        |    "Xpath": "//a[1]",
+        |    "Sub-Categories Xpaths": {
+        |      "Dairy": {"Name": "Dairy", "Sub Xpath": "//p[1]"},
+        |      "Bakery": {"Name": "Bakery", "Sub Xpath": "//p[2]"}
+        |    }
+        |  },
+        |  "Electronics": {
+        |    "Name": "Electronics",
+        |    "Xpath": "//a[2]",
+        |    "Sub-Categories Xpaths": {}
+        |  }
+        |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.json"), json.getBytes("UTF-8"))
+    val rows = graft.sources.FrontierSources.readCategoryTree(spark, s"$dir/data.json")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3), r.getString(5)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(rows == Seq(
+      ("Electronics", "//a[2]", "", ""),
+      ("Groceries", "//a[1]", "Bakery", "//p[2]"),
+      ("Groceries", "//a[1]", "Dairy", "//p[1]")).sortBy(t => (t._1, t._3)))
+  }
 }
