@@ -1077,8 +1077,11 @@ object GraftQueries {
     * variant of q_simhash; no DuckDB equivalent hash, rows-only). */
   private def qSimhash64Native(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
+    // native codegen expression; identical output to the Column-algebra
+    // TextFunctions.simhash64 (asserted in TextFunctionsSpec)
     t(s, dir, "documents")
-      .select(col("doc_id"), simhash64(wsTokens(col("text"))).as("simhash64"))
+      .select(col("doc_id"),
+        graft.plans.SimHash64Expr.simhash64Native(wsTokens(col("text"))).as("simhash64"))
   }
 
   /** Native MinHash+LSH candidate pairs via TextFunctions (trigram shingles,
@@ -1094,7 +1097,7 @@ object GraftQueries {
     // capped bands — the self-join reads them twice
     val sig = t(s, dir, "documents")
       .select(col("doc_id"),
-        minhash(shingles(wsTokens(col("text")), 3), 16).as("sig"))
+        graft.plans.MinHashShingledExpr.minhashShingled(wsTokens(col("text")), 16, 3).as("sig"))
       .persist()
     val bands = sig
       .select(col("doc_id"), explode(lshBands(col("sig"), 4)).as("b"))

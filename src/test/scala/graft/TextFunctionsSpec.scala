@@ -55,6 +55,36 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(agree13 < 16)
   }
 
+  test("NATIVE simhash64 expression identical to the Column-algebra formulation") {
+    import spark.implicits._
+    val docs = graft.gen.Synthetic
+    val df = (0L until 120L).map(id => (id, s"doc $id " + (0 to (id % 17).toInt)
+      .map(i => s"w${docs.mix2(id, i.toLong) % 23}").mkString(" "))).toDF("id", "text")
+    val both = df.select(col("id"),
+        simhash64(wsTokens(col("text"))).as("colv"),
+        graft.plans.SimHash64Expr.simhash64Native(wsTokens(col("text"))).as("natv"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+  }
+
+  test("NATIVE fused shingle+minhash == native minhash over materialized shingles") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "w x y z a b c d e f"), (2L, "w x y z a b c d e f"),
+      (3L, "p q r s t u v k l m"), (4L, "a b")).toDF("id", "text")
+    val both = df.select(col("id"),
+        graft.plans.MinHashShingledExpr.minhashShingled(wsTokens(col("text")), 16, 3).as("fused"),
+        graft.plans.MinHashExpr.minhashNative(shingles(wsTokens(col("text")), 3), 16).as("staged"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    both.foreach { case (id, a, b) => assert(a == b, s"id=$id") }
+    // identical docs -> identical signatures; disjoint docs disagree
+    val m = both.map(t => t._1 -> t._2).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L).zip(m(3L)).count { case (a, b) => a == b } < 16)
+    // shorter than the shingle width -> all-sentinel signature (no windows)
+    assert(m(4L).forall(_ == Long.MaxValue))
+  }
+
   test("lshBands: identical signatures share all bands") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h")).toDF("id", "text")
