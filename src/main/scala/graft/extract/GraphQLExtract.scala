@@ -193,6 +193,43 @@ object GraphQLExtract {
       kept.withColumn("barcode", explode(split(col("barcode"), ", "))))
   }
 
+  // ---------------- S5: paginated list scan + count barrier ----------------
+
+  /** List-response schema (seoudi:128-199 / spinneys:100-240: the list query
+    * returns `data.connection.{nodes, total_count}` per page). */
+  val listSchema: StructType = StructType.fromDDL(
+    """data STRUCT<connection: STRUCT<
+      |  total_count: INT,
+      |  nodes: ARRAY<STRUCT<url_key: STRING, sku: STRING, name: STRING>>
+      |>>""".stripMargin)
+
+  /** S5 — explode a table of list-response pages (category, page_no, doc)
+    * into one row per node, preserving crawl order as (category, page_no,
+    * position-in-page) — the reference's sequential drain order. */
+  def listNodes(pages: DataFrame): DataFrame = {
+    val conn = from_json(col("doc"), listSchema).getField("data").getField("connection")
+    pages
+      .select(col("category"), col("page_no"), posexplode(conn.getField("nodes")).as(Seq("pos", "n")))
+      .select(col("category"), col("page_no"), col("pos"),
+        col("n.url_key").as("url_key"), col("n.sku").as("sku"), col("n.name").as("name"))
+  }
+
+  /** A3/S5 — the pagination count barrier as data validation: per category,
+    * retrieved node count vs the response's total_count; `complete` mirrors
+    * the reference's `total_retrieved >= total_count` stop condition
+    * (spinneys:235-238) — false means a page is missing and the category
+    * must be re-fetched. */
+  def paginationAudit(pages: DataFrame): DataFrame = {
+    val conn = from_json(col("doc"), listSchema).getField("data").getField("connection")
+    pages
+      .select(col("category"),
+        size(conn.getField("nodes")).as("__n"),
+        conn.getField("total_count").as("__total"))
+      .groupBy(col("category"))
+      .agg(sum(col("__n")).as("retrieved"), max(col("__total")).as("total_count"))
+      .withColumn("complete", col("retrieved") >= col("total_count"))
+  }
+
   // ---------------- G3: ConfigurableProduct variants explode ---------------
 
   /** Variants fragment schema — spinneys_extract_data.py:667-704 (`... on

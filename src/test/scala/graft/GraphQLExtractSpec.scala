@@ -80,4 +80,29 @@ class GraphQLExtractSpec extends SparkTestBase {
       .select("barcode").collect().map(_.getString(0)).toSet
     assert(rows == Set(s"SKU-$sample, ALT-$sample", s"SKU-$sample", s"ALT-$sample"))
   }
+
+  test("S5 paginated list scan: nodes in drain order, count barrier detects a missing page") {
+    import spark.implicits._
+    // 2 categories x 3 pages x 2 nodes, total_count = 6 on every page
+    def doc(cat: String, page: Int): String = {
+      val nodes = (0 until 2).map(i =>
+        s"""{"url_key":"$cat-p$page-$i","sku":"S$cat$page$i","name":"N"}""").mkString(",")
+      s"""{"data":{"connection":{"total_count":6,"nodes":[$nodes]}}}"""
+    }
+    val pages = (for (c <- Seq("a", "b"); p <- 0 until 3) yield (c, p, doc(c, p)))
+      .toDF("category", "page_no", "doc")
+    val nodes = GraphQLExtract.listNodes(pages)
+    assert(nodes.count() == 12)
+    val keys = nodes.filter(col("category") === "a")
+      .orderBy("page_no", "pos").select("url_key").collect().map(_.getString(0)).toSeq
+    assert(keys == Seq("a-p0-0", "a-p0-1", "a-p1-0", "a-p1-1", "a-p2-0", "a-p2-1"))
+    val auditFull = GraphQLExtract.paginationAudit(pages)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(auditFull == Map("a" -> true, "b" -> true))
+    // drop one page of category b -> barrier must flag it incomplete
+    val torn = pages.filter(!(col("category") === "b" && col("page_no") === 1))
+    val auditTorn = GraphQLExtract.paginationAudit(torn)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(auditTorn == Map("a" -> true, "b" -> false))
+  }
 }
