@@ -496,12 +496,14 @@ object GraftQueries {
       .distinct()
   }
 
-  private val qMinhashLshSql = {
+  /** Shared CTE body (sig/bands/capped/pairs) for the md5 LSH oracle —
+    * reused by the pair query and the clusters query. */
+  private val lshPairCtes = {
     val mins = (0 until 8).map(i => s"min(md5('${i}_' || token)) AS h$i").mkString(", ")
     val bandRows = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS key FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""WITH sig AS (
+    s"""sig AS (
        |  SELECT doc_id, $mins
        |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 1500)
        |  GROUP BY doc_id),
@@ -509,10 +511,41 @@ object GraftQueries {
        |  $bandRows),
        |capped AS (
        |  SELECT doc_id, band, key FROM bands
-       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 20)
-       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 20),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private val qMinhashLshSql =
+    s"""WITH $lshPairCtes
+       |SELECT a_id, b_id FROM pairs""".stripMargin
+
+  /** Near-dup CLUSTERS: the dedup family's last stage — LSH candidate pairs
+    * become connected components via iterative min-label propagation
+    * (Dataset joins, no RDDs); each doc gets its component label (= min doc
+    * id in the cluster) and a canonical flag. The fixpoint is algorithm-
+    * independent, so DuckDB reproduces it exactly with a recursive CTE. */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents").filter(col("doc_id") < 1500).select(col("doc_id"))
+    val edges = qMinhashLsh(s, dir).select(col("a_id"), col("b_id"))
+    graft.graph.ConnectedComponents.canonicalize(nodes, edges)
+      .select(col("id").as("doc_id"), col("component"), col("is_canonical"))
+  }
+
+  private val qDedupClustersSql =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 1500),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component,
+       |  (src = min(dst)) AS is_canonical
+       |FROM reach GROUP BY src""".stripMargin
 
   /** n-gram Jaccard near-dup: token-trigram sets, pairwise Jaccard (milli,
     * floor-quantized) over pairs within the same source partition. */
@@ -1161,6 +1194,7 @@ object GraftQueries {
     "q_quality_score" -> (qQualityScore _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_simhash" -> (qSimhash _),
     "q_ann_topk" -> (qAnnTopK _),
@@ -1207,6 +1241,7 @@ object GraftQueries {
     "q_quality_score" -> qQualityScoreSql,
     "q_minhash_sig" -> qMinhashSigSql,
     "q_minhash_lsh" -> qMinhashLshSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_simhash" -> qSimhashSql,
     "q_ann_topk" -> qAnnTopKSql,

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkTestBase {
+
+  test("components: chains, triangles, isolated nodes, min-id labels") {
+    import spark.implicits._
+    val nodes = (1L to 10L).toDF("doc_id")
+    // components: {1,2,3,4} (chain), {5,6,7} (triangle), {8} {9} {10} isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("a", "b")
+    val got = ConnectedComponents.components(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L, 10L -> 10L))
+    spark.catalog.clearCache()
+  }
+
+  test("canonicalize flags exactly one canonical per cluster") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("doc_id")
+    val edges = Seq((2L, 4L), (4L, 6L), (1L, 3L)).toDF("a", "b")
+    val rows = ConnectedComponents.canonicalize(nodes, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      val canon = members.filter(_._3)
+      assert(canon.length == 1 && canon.head._1 == comp, s"component $comp")
+    }
+    assert(byComp.keySet == Set(1L, 2L, 5L))
+    spark.catalog.clearCache()
+  }
+
+  test("long chain converges within the iteration budget (diameter rounds)") {
+    import spark.implicits._
+    val n = 10L
+    val nodes = (0L until n).toDF("doc_id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.components(nodes, edges, maxIters = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L))
+    spark.catalog.clearCache()
+  }
+}
