@@ -44,7 +44,8 @@ final class CrawlEngine(
     saltFactor: Int = 8,
     defaultBudget: Int = 1000,
     maxAttempts: Int = 5,
-    bloomFpp: Double = 0.03) {
+    bloomFpp: Double = 0.03,
+    merchant: MerchantSpec = MerchantSpec.carrefour) {
 
   import spark.implicits._
 
@@ -170,37 +171,52 @@ final class CrawlEngine(
     val scheduledCount = roundObs.get("scheduled").asInstanceOf[Long]
     lastRoundMetrics = roundObs.get
 
-    // S4/J1: "fetch" = join pages on the language-normalized canonical key;
-    // extraction runs ONLY on joined (scheduled) pages.
-    val pagesKeyed = pages
-      .withColumn("url_key",
-        graft.plans.UrlCanonExpr.canon(regexp_replace(col("url"), "/ar/", "/en/")))
+    // S4/J1: "fetch" = join pages on the merchant's language-normalized
+    // canonical key; extraction runs ONLY on joined (scheduled) pages.
+    // persisted: both the products path (pivot) and the link harvest
+    // (newEntries) read the extracted fields — without this the kernel UDF
+    // would run twice per page per round.
+    val pagesKeyed = pages.withColumn("url_key", merchant.pageKey(col("url")))
     val joined = scheduled
       .select(col("url_norm"), col("url").as("frontier_url"), col("category"),
         col("crawl_order"), col("attempt"), col("host"))
       .join(pagesKeyed, col("url_key") === col("url_norm"), "inner")
-    val withFields = Extractors.withPageFields(joined)
+    val withFields = Extractors.withPageFields(joined).persist()
+    // persisted: products + extraction-failure keys both read the pivot
     val pivoted = Extractors.pivotLangs(withFields, "url_norm")
       .join(scheduled.select(col("url_norm"), col("crawl_order"), col("category")), Seq("url_norm"))
       .withColumn("url_en", coalesce(col("url_en"), col("url_norm")))
+      .withColumn("__extract_failed", merchant.extractionFailed)
+      .persist()
 
-    // P*: Product projection; A1: first-wins barcode dedup by crawl order;
-    // G1: barcode explode
-    val productsOrdered =
-      Extractors.carrefourProduct(pivoted, runDate, passThrough = Seq("crawl_order"))
-    val barcodeW = Window.partitionBy(col("barcode")).orderBy(col("crawl_order"))
-    val dedupedProducts = productsOrdered
-      .withColumn("__rn", row_number().over(barcodeW)).filter(col("__rn") === 1)
-      .drop("__rn", "crawl_order")
+    // The reference's except-path (e.g. Metro NameError when the ld+json
+    // island is missing, metro:176-182): the URL yields no product, is NOT
+    // marked seen, and re-enters the retry loop like a fetch miss.
+    val failedKeys = pivoted.filter(col("__extract_failed")).select(col("url_norm"))
+
+    // P*: Product projection; A1: first-wins barcode dedup by crawl order
+    // (merchants with hard-coded '' barcodes skip it); G1: barcode explode
+    val productsOrdered = merchant.project(
+      pivoted.filter(!col("__extract_failed")), runDate, Seq("crawl_order"))
+    val dedupedProducts =
+      if (merchant.dedupByBarcode) {
+        val barcodeW = Window.partitionBy(col("barcode")).orderBy(col("crawl_order"))
+        productsOrdered
+          .withColumn("__rn", row_number().over(barcodeW)).filter(col("__rn") === 1)
+          .drop("__rn", "crawl_order")
+      } else productsOrdered.drop("crawl_order")
     val products = Extractors.explodeBarcodes(dedupedProducts)
 
-    // O4/O5: misses -> retry or quarantine. Only SUCCESSFUL fetches become
-    // "seen" (reference: failures stay is_processed=False and re-enter,
+    // O4/O5: misses (no page) and extraction failures -> retry or
+    // quarantine. Only SUCCESSFUL extractions become "seen" (reference:
+    // failures stay is_processed=False and re-enter,
     // carrefour_extract_data.py:198-203).
     val pageKeys = pagesKeyed.select(col("url_key")).distinct()
     val missed = scheduled.join(pageKeys, col("url_key") === col("url_norm"), "left_anti")
+      .unionByName(scheduled.join(failedKeys, Seq("url_norm"), "left_semi"))
     val fetchedHashes = scheduled
       .join(pageKeys, col("url_key") === col("url_norm"), "left_semi")
+      .join(failedKeys, Seq("url_norm"), "left_anti")
       .select(col("url_hash"))
     val retry = missed.filter(col("attempt") + 1 < maxAttempts)
       .withColumn("attempt", col("attempt") + 1)
