@@ -41,18 +41,25 @@ object ConnectedComponents {
     // pattern; plain persist still pays exponential re-analysis)
     var labels = nodes.select(col(idCol).as("id"), col(idCol).cast("long").as("component"))
       .localCheckpoint(true)
-    var changed = 1L
+    // convergence check rides the checkpoint action for free: labels only
+    // ever DECREASE under min-propagation, so the fixpoint is exactly when
+    // sum(component) stops falling — observed, not recomputed (A3 pattern)
+    var lastSum = Long.MinValue
+    var converged = false
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
+    while (!converged && iters < maxIters) {
       val propagated = sym
         .join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
+      val obs = org.apache.spark.sql.Observation(s"cc_$iters")
       val next = labels.unionByName(propagated)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
+        .observe(obs, sum(col("component")).as("label_sum"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component")).count()
+      val s = obs.get("label_sum").asInstanceOf[Long]
+      converged = s == lastSum
+      lastSum = s
       labels = next
       iters += 1
     }
