@@ -46,9 +46,7 @@ object Bench {
   /** One full scheduling round over a raw frontier parquet; returns the
     * scheduled count (forces execution). */
   private def scheduleRound(spark: SparkSession, frontierPath: String, cpus: Int): Long = {
-    import graft.seen.UrlSeen
     import graft.sched.Scheduler
-    import graft.url.UrlCanon
     import org.apache.spark.sql.expressions.Window
 
     val raw = spark.read.parquet(frontierPath)

@@ -8,9 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.extract.Extractors
 import graft.sched.Scheduler
-import graft.seen.UrlSeen
 import graft.state.SnapshotTable
-import graft.url.UrlCanon
 
 /** The round-based crawl engine (SURVEY.md §3 "Spark shape", §7 module 8).
   *
