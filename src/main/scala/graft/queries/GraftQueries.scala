@@ -648,7 +648,7 @@ object GraftQueries {
     val dots = emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(query))
       .select(col("vec_id"),
-        aggregate(zip_with(col("q"), col("qv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("dot"))
+        graft.plans.VecExprs.dot(col("q"), col("qv")).as("dot"))
     // top-k via orderBy+limit -> TakeOrderedAndProject (distributed partial
     // top-k, merged on the driver) — a global rank window would single-
     // reducer every score; the rank window then runs over just k rows
@@ -689,7 +689,7 @@ object GraftQueries {
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"))
     val dists = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("q"), col("centroid_id"),
-        aggregate(zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d2"))
+        graft.plans.VecExprs.l2sq(col("q"), col("cq")).as("d2"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("centroid_id"))
     dists.withColumn("rn", row_number().over(w))
   }
@@ -730,7 +730,7 @@ object GraftQueries {
     val pairs = probes.as("x").join(probes.as("y"),
       col("x.centroid_id") === col("y.centroid_id") && col("x.vec_id") < col("y.vec_id"))
     pairs.select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-        aggregate(zip_with(col("x.q"), col("y.q"), (a, b) => a * b), lit(0L), (acc, v) => acc + v).as("dot"))
+        graft.plans.VecExprs.dot(col("x.q"), col("y.q")).as("dot"))
       .filter(col("dot") >= 300000L)
       .distinct() // a pair sharing both probe clusters appears twice
   }
