@@ -83,6 +83,21 @@ final class CrawlEngine(
       n.path("lineage").asInt(), n.path("scheduledTotal").asLong()))
   }
 
+  /** Streaming-ingest appends (FrontierStream) must parent from the RESUME-
+    * RESOLVED base, not blind CURRENT: an append landing after a torn round
+    * commit would otherwise chain onto the orphaned snapshot and be silently
+    * lost with it when resume reverts to the checkpointed base (ADVICE r02).
+    */
+  def ingestFrontierAppend(df: DataFrame): Int = {
+    val base = readCheckpoint().map(_.frontier).getOrElse(0)
+    frontierTable.append(df, "ingest", frontierTable.resolveBase(base, "ingest"))
+  }
+
+  def ingestSeenAppend(df: DataFrame): Int = {
+    val base = readCheckpoint().map(_.seen).getOrElse(0)
+    seenTable.append(df, "ingest", seenTable.resolveBase(base, "ingest"))
+  }
+
   private def writeCheckpoint(c: Checkpoint): Unit = {
     val node = mapper.createObjectNode()
     node.put("round", c.round); node.put("frontier", c.frontier); node.put("seen", c.seen)

@@ -42,9 +42,12 @@ object ConnectedComponents {
     var labels = nodes.select(col(idCol).as("id"), col(idCol).cast("long").as("component"))
       .localCheckpoint(true)
     // convergence check rides the checkpoint action for free: labels only
-    // ever DECREASE under min-propagation, so the fixpoint is exactly when
-    // sum(component) stops falling — observed, not recomputed (A3 pattern)
-    var lastSum = Long.MinValue
+    // ever DECREASE under min-propagation, so the labeling stabilizes
+    // exactly at the fixpoint. The observed metric is the XOR-fold of
+    // xxhash64(id, component): equal across two rounds iff no label changed
+    // (up to a ~2^-64 hash-cancellation; a sum of raw labels would overflow
+    // ANSI arithmetic for xxhash64-sized node ids, bit_xor cannot)
+    var lastFp: Option[Long] = None
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -55,14 +58,22 @@ object ConnectedComponents {
       val next = labels.unionByName(propagated)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
-        .observe(obs, sum(col("component")).as("label_sum"))
+        .observe(obs, expr("bit_xor(xxhash64(id, component))").as("label_fp"))
         .localCheckpoint(true)
-      val s = obs.get("label_sum").asInstanceOf[Long]
-      converged = s == lastSum
-      lastSum = s
+      val fp = Option(obs.get("label_fp")).map(_.asInstanceOf[Long])
+      converged = fp.isEmpty || fp == lastFp // empty graph converges trivially
+      lastFp = fp
       labels = next
       iters += 1
     }
+    // a silent exit here would return partially-propagated labels (diameter >
+    // maxIters) and quietly diverge from the recursive-CTE oracle — fail loud
+    // labels is localCheckpoint-materialized — the edge cache can go
+    sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIters iterations " +
+          "(component diameter exceeds the cap); raise maxIters")
     labels
   }
 

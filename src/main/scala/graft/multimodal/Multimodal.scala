@@ -100,7 +100,9 @@ object Multimodal {
       media: Dataset[MediaRow],
       targetBytesPerTask: Long = 64L * 1024 * 1024): Dataset[MediaRow] = {
     val df = media.toDF()
-    val totalBytes = df.agg(sum(octet_length(col("payload")))).head.getLong(0)
+    // coalesce: sum over zero rows is null (an empty corpus is 0 bytes)
+    val totalBytes = df.agg(coalesce(sum(octet_length(col("payload"))), lit(0L)))
+      .head.getLong(0)
     val numPartitions = math.max(1L, (totalBytes + targetBytesPerTask - 1) / targetBytesPerTask).toInt
     import media.sparkSession.implicits._
     df.repartition(numPartitions, xxhash64(col("media_id"))).as[MediaRow]

@@ -51,9 +51,11 @@ object FrontierStream {
           val preSeen = enriched.filter(col("is_processed")).select(col("url_hash"))
           // append new pending entries + new pre-seen hashes; the next
           // engine round dedups + seen-gates them exactly like any other
-          // frontier content
-          engine.frontierTable.append(pending, "ingest")
-          if (!preSeen.isEmpty) engine.seenTable.append(preSeen, "ingest")
+          // frontier content. The engine helpers parent from the resume-
+          // resolved base so an append racing a torn round commit is never
+          // chained onto the orphaned snapshot (ADVICE r02).
+          engine.ingestFrontierAppend(pending)
+          if (!preSeen.isEmpty) engine.ingestSeenAppend(preSeen)
           ()
         }
       }

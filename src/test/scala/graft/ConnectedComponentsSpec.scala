@@ -33,6 +33,33 @@ class ConnectedComponentsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("iteration cap exhaustion fails loud instead of returning partial labels") {
+    import spark.implicits._
+    val n = 12L
+    val nodes = (0L until n).toDF("doc_id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    // a 12-node path has diameter 11 > 3 rounds of min-label propagation
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.components(nodes, edges, maxIters = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    spark.catalog.clearCache()
+  }
+
+  test("xxhash64-scale node ids converge without overflow (ANSI-safe fixpoint)") {
+    import spark.implicits._
+    // ids near Long extremes — a sum-of-labels fixpoint metric would throw
+    // under ANSI arithmetic; the bit_xor fingerprint cannot overflow
+    val ids = Seq(Long.MaxValue - 1, Long.MaxValue - 2, -9000000000000000000L, 5L)
+    val nodes = ids.toDF("doc_id")
+    val edges = Seq((Long.MaxValue - 1, Long.MaxValue - 2), (-9000000000000000000L, 5L)).toDF("a", "b")
+    val got = ConnectedComponents.components(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(Long.MaxValue - 1) == Long.MaxValue - 2)
+    assert(got(5L) == -9000000000000000000L)
+    spark.catalog.clearCache()
+  }
+
   test("long chain converges within the iteration budget (diameter rounds)") {
     import spark.implicits._
     val n = 10L

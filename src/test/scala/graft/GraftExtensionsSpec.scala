@@ -51,4 +51,22 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(viaSql.toSeq == viaCols.toSeq)
     assert(viaSql.head._2 == "https://shop1.example.com/en/item-1/p/1")
   }
+
+  test("wrong arity and non-int literals surface readable analysis errors") {
+    val s = extSpark
+    import s.implicits._
+    Seq("u").toDF("url").createOrReplaceTempView("arity_t")
+    val e1 = intercept[Exception] { s.sql("SELECT url_canon() FROM arity_t").collect() }
+    assert(e1.getMessage.contains("url_canon expects 1 argument(s), got 0"), e1.getMessage)
+    val e2 = intercept[Exception] { s.sql("SELECT url_canon(url, url) FROM arity_t").collect() }
+    assert(e2.getMessage.contains("url_canon expects 1 argument(s), got 2"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      s.sql("SELECT minhash_shingled(split(url, ' '), url, 3) FROM arity_t").collect()
+    }
+    assert(e3.getMessage.contains("literal integer"), e3.getMessage)
+    // BIGINT literals in range are accepted (SQL users plausibly write them)
+    val ok = s.sql("SELECT minhash_shingled(split('a b c d', ' '), CAST(4 AS BIGINT), 2) AS mh")
+      .collect().head.getSeq[Long](0)
+    assert(ok.length == 4)
+  }
 }

@@ -52,6 +52,13 @@ class MultimodalSpec extends SparkTestBase {
     assert(coarser.rdd.getNumPartitions == ((totalBytes + 2 * target - 1) / (2 * target)).toInt)
   }
 
+  test("sizeScaledPartitions on an empty corpus yields one partition, no NPE") {
+    val empty = Multimodal.syntheticMedia(spark, 0, 2)
+    val scaled = Multimodal.sizeScaledPartitions(empty)
+    assert(scaled.rdd.getNumPartitions == 1)
+    assert(scaled.count() == 0)
+  }
+
   test("features are unit-norm") {
     val feats = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, 50, 2)).collect()
     feats.foreach { f =>
