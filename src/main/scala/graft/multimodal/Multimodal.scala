@@ -34,38 +34,47 @@ object Multimodal {
       n_bytes: Int,
       width: Int, height: Int,       // image/video; -1 for audio
       n_frames: Int,                 // video frame-sample count; 1 image
-      checksum: Long,                // deterministic content hash
+      checksum: String,              // md5 hex of the payload
       feature: Array[Float])         // unit-norm fake embedding (dim 8)
 
   /** The per-partition decoder. One instance per partition (like a model
-    * handle in mapInPandas); `decode` is the stub boundary. */
+    * handle in mapInPandas); `decode` is the stub boundary.
+    *
+    * The fake decode derives everything from md5(payload) — md5 is the one
+    * hash both this engine and the DuckDB oracle share, so the metadata half
+    * of the decode (n_bytes/width/height/n_frames/checksum) is exactly
+    * cross-engine replayable (q_multimodal_decode); only the fake feature
+    * vector stays engine-side (covered by MultimodalSpec determinism). */
   final class StubDecoder {
-    /** Deterministic fake decode: dimensions and features derived from the
-      * payload bytes via splitmix64 — byte-identical on every executor. */
+    private val md = java.security.MessageDigest.getInstance("MD5")
+
     def decode(row: MediaRow): MediaFeatures = {
-      var h = 0x9E3779B97F4A7C15L
-      var i = 0
-      val bytes = row.payload
-      while (i < bytes.length) { h = graft.gen.Synthetic.mix(h ^ bytes(i)); i += 1 }
+      md.reset()
+      val digest = md.digest(row.payload)
+      val hex = digest.map(b => f"${b & 0xFF}%02x").mkString
+      def nib(i: Int): Int = Character.digit(hex.charAt(i), 16)
       val isAudio = row.kind == "audio"
-      val w = if (isAudio) -1 else 64 + (h & 0x3FF).toInt
-      val hgt = if (isAudio) -1 else 64 + ((h >>> 10) & 0x3FF).toInt
-      val frames = row.kind match {
-        case "video" => 1 + ((h >>> 20) & 0xF).toInt
-        case _ => 1
-      }
+      val v3 = nib(0) * 256 + nib(1) * 16 + nib(2)
+      val v6 = nib(3) * 256 + nib(4) * 16 + nib(5)
+      val w = if (isAudio) -1 else 64 + v3 % 1024
+      val hgt = if (isAudio) -1 else 64 + v6 % 1024
+      val frames = if (row.kind == "video") 1 + nib(6) else 1
+      // feature: splitmix over the digest (deterministic, not oracle-checked)
+      var h = 0x9E3779B97F4A7C15L
+      digest.foreach(b => h = graft.gen.Synthetic.mix(h ^ b))
       val raw = Array.tabulate(8)(d => (graft.gen.Synthetic.mix2(h, d) & 0xFFFF).toFloat)
       val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
-      MediaFeatures(row.media_id, row.kind, bytes.length, w, hgt, frames, h,
+      MediaFeatures(row.media_id, row.kind, row.payload.length, w, hgt, frames, hex,
         raw.map(_ / norm))
     }
 
-    /** Resize signature (stub: recompute dims deterministically). */
+    /** Resize signature (stub: integer arithmetic only, so the oracle's
+      * integer division replays it bit-for-bit — no float rounding drift). */
     def resize(f: MediaFeatures, maxSide: Int): MediaFeatures =
       if (f.width <= maxSide && f.height <= maxSide) f
       else {
-        val scale = maxSide.toDouble / math.max(f.width, f.height)
-        f.copy(width = (f.width * scale).toInt, height = (f.height * scale).toInt)
+        val m = math.max(f.width, f.height)
+        f.copy(width = f.width * maxSide / m, height = f.height * maxSide / m)
       }
 
     /** Frame-sample signature: keep every k-th frame index. */

@@ -284,18 +284,31 @@ object GraftQueries {
       |  event_id
       |FROM events WHERE event_type = 'click'""".stripMargin
 
-  /** O2 — per-host politeness budget: top-100 per host by priority
-    * (metro 1s/page pacing as a quota). Host = event_type. */
+  /** O2 — per-host politeness budget through the ENGINE's skew-proof
+    * two-phase salted top-K (Politeness.applyBudgets — the catalog query IS
+    * the path a user should copy; the single-window form it replaces would
+    * serialize a Zipf-hot host onto one reducer). Host = event_type;
+    * priority = (ts, event_id) mapped onto the engine's priority columns
+    * (discovered_seq = event micros, url_hash = event_id tiebreak). The
+    * oracle replays the equivalent single window — phase-1/phase-2 equality
+    * is the exactness claim. */
   private def qHostBudget(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    t(s, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 100)
-      .select(col("event_type").as("host"), col("event_id"), col("rn").cast("long").as("rank_in_host"))
+    val f = t(s, dir, "events").select(
+      col("event_type").as("host"),
+      col("event_id").as("url_hash"),
+      lit(0).as("host_rank"), lit(0).as("depth"),
+      // events.ts is TIMESTAMP_NTZ; the cast is identity under the UTC
+      // session tz every entrypoint sets. µs precision (driver data has it)
+      unix_micros(col("ts").cast("timestamp")).as("discovered_seq"),
+      col("event_id"))
+    val budgets = f.select(col("host")).distinct().withColumn("per_round", lit(100))
+    graft.politeness.Politeness.applyBudgets(f, budgets, defaultBudget = 100)
+      .filter(col("scheduled_now"))
+      .select(col("host"), col("event_id"))
   }
 
   private val qHostBudgetSql =
-    """SELECT event_type AS host, event_id, CAST(rn AS BIGINT) AS rank_in_host FROM (
+    """SELECT event_type AS host, event_id FROM (
       |  SELECT event_type, event_id,
       |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
       |  FROM events) WHERE rn <= 100""".stripMargin
@@ -547,16 +560,31 @@ object GraftQueries {
        |  (src = min(dst)) AS is_canonical
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Hot-shingle document-frequency cap for the Jaccard candidate join: a
+    * boilerplate trigram appearing in f docs would contribute f²/2 join rows
+    * (the one O(n²)-shaped plan of round 2) — shingles above the cap carry
+    * ~no similarity signal and are dropped from the SHINGLE UNIVERSE (sizes
+    * AND intersections), i.e. Jaccard over non-boilerplate trigrams. The cap
+    * runs as a linear window, like LshBucketCap, and is mirrored exactly in
+    * the oracle. */
+  private val ShingleDfCap = 40
+
   /** n-gram Jaccard near-dup: token-trigram sets, pairwise Jaccard (milli,
     * floor-quantized) over pairs within the same source partition. */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < 1500)
     // trigrams via the shuffle-free array expression (TextFunctions.shingles)
     // — the earlier posexplode + per-doc window shuffled every token once
-    val tris = docs
+    val trisAll = docs
       .select(col("doc_id"), col("source"),
         explode(array_distinct(
           graft.functions.TextFunctions.shingles(split(col("text"), " "), 3))).as("tri"))
+    val dfW = Window.partitionBy(col("source"), col("tri"))
+    val tris = trisAll
+      .withColumn("__df", count(lit(1)).over(dfW))
+      .filter(col("__df") <= ShingleDfCap)
+      .drop("__df")
+      .persist() // sizes + both sides of the pair join read it
     val sizes = tris.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = tris.as("x").join(tris.as("y"),
         col("x.tri") === col("y.tri") && col("x.source") === col("y.source") &&
@@ -576,12 +604,15 @@ object GraftQueries {
       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
       |    generate_subscripts(string_split(text, ' '), 1) AS pos
       |  FROM documents WHERE doc_id < 1500),
-      |tris AS (
+      |tris0 AS (
       |  SELECT DISTINCT doc_id, source, tri FROM (
       |    SELECT doc_id, source,
       |      tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS tri
       |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
       |  WHERE tri IS NOT NULL AND len(string_split(tri, ' ')) = 3),
+      |tris AS (
+      |  SELECT doc_id, source, tri FROM tris0
+      |  QUALIFY count(*) OVER (PARTITION BY source, tri) <= 40),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM tris GROUP BY doc_id),
       |inter AS (
       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
@@ -681,11 +712,20 @@ object GraftQueries {
   }
 
   /** Per-vector distances to every centroid, ranked (rn = 1 is the nearest;
-    * rn <= p is the multi-probe assignment). */
+    * rn <= p is the multi-probe assignment). Centroids are the k smallest
+    * vec_ids by md5-rank: a deterministic SPREAD sample — "first k by id"
+    * clumps wherever ids correlate with embedding position, while a
+    * hash-rank samples ∝ data density, which is what bounds the max cluster
+    * population (DebugScale centroid-balance evidence in BASELINE.md). Still
+    * exactly SQL-mirrorable (md5 is the shared hash). */
   private def ivfRanked(s: SparkSession, dir: String): DataFrame = {
     val k = ivfK(s, dir)
     val emb = t(s, dir, "embeddings").select(col("vec_id"), quantized(col("embedding")).as("q"))
-    val cents = emb.filter(col("vec_id") < k)
+    // TakeOrderedAndProject over ids only: distributed partial top-k, k ≈ √n
+    val centIds = t(s, dir, "embeddings").select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(k.toInt)
+    val cents = emb.join(broadcast(centIds), Seq("vec_id"))
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"))
     val dists = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("q"), col("centroid_id"),
@@ -704,13 +744,19 @@ object GraftQueries {
   private val ivfKSql =
     "(SELECT CAST(greatest(1, ceil(sqrt(count(*)))) AS BIGINT) FROM embeddings)"
 
+  /** The md5-rank centroid sample, shared by both IVF oracles. */
+  private val ivfCentroidsSql =
+    s"""(SELECT vec_id FROM embeddings
+       |   QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $ivfKSql)""".stripMargin
+
   private val qAnnIvfAssignSql =
     s"""WITH ev AS (
       |  SELECT vec_id,
       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
       |    generate_subscripts(embedding, 1) AS pos
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS centroid_id, pos, x AS cx FROM ev WHERE vec_id < $ivfKSql),
+      |c AS (SELECT vec_id AS centroid_id, pos, x AS cx FROM ev
+      |      WHERE vec_id IN $ivfCentroidsSql),
       |d AS (
       |  SELECT ev.vec_id, c.centroid_id, CAST(sum((ev.x - c.cx) * (ev.x - c.cx)) AS BIGINT) AS d2
       |  FROM ev JOIN c USING (pos) GROUP BY ev.vec_id, c.centroid_id)
@@ -741,7 +787,8 @@ object GraftQueries {
       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
       |    generate_subscripts(embedding, 1) AS pos
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS cid, pos, x AS cx FROM ev WHERE vec_id < $ivfKSql),
+      |c AS (SELECT vec_id AS cid, pos, x AS cx FROM ev
+      |      WHERE vec_id IN $ivfCentroidsSql),
       |d AS (
       |  SELECT ev.vec_id, c.cid, CAST(sum((ev.x - c.cx) * (ev.x - c.cx)) AS BIGINT) AS d2
       |  FROM ev JOIN c USING (pos) GROUP BY ev.vec_id, c.cid),
@@ -1148,23 +1195,120 @@ object GraftQueries {
       .distinct()
   }
 
-  /** Multimodal batched decode (stub codec; real mapPartitions plumbing —
-    * rows-only, exactness covered by MultimodalSpec). */
+  /** Multimodal batched decode over `documents` payloads: the REAL
+    * mapPartitions plumbing (one decoder per partition) with the md5-derived
+    * stub codec, so the metadata half (n_bytes/width/height after integer
+    * resize, frame-sample count, checksum) replays exactly in DuckDB; the
+    * fake feature vectors stay engine-side (MultimodalSpec). */
   private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
-    Multimodal.decodeFeatures(Multimodal.syntheticMedia(s, 2000, 8)).toDF()
+    import s.implicits._
+    val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3).cast("int") + 1).as("kind"),
+        col("text").cast("binary").as("payload"),
+        lit("application/x-test").as("mime"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("captured_ts"))
+      .as[Multimodal.MediaRow]
+    Multimodal.decodeFeatures(media).toDF()
       .select("media_id", "kind", "n_bytes", "width", "height", "n_frames", "checksum")
   }
 
-  /** One full engine scheduling pass over the synthetic frontier. */
-  private def qCrawlSchedule(s: SparkSession, dir: String): DataFrame = {
-    val f = Synthetic.frontier(s, 2000, 8).toDF().filter(!col("is_processed"))
-      .dropDuplicates("url_hash")
-    val (now, _) = Scheduler.schedule(
-      f, Synthetic.robots(s).toDF(), Synthetic.budgets(s, 200).toDF(),
-      defaultBudget = 200, numPartitions = 8)
-    now.select("crawl_order", "url_norm", "host")
+  private val qMultimodalDecodeSql = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH m AS (
+       |  SELECT doc_id, md5(text) AS h,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |         ELSE 'video' END AS kind
+       |  FROM documents),
+       |raw AS (
+       |  SELECT doc_id, kind, h, n_bytes,
+       |    CASE WHEN kind = 'audio' THEN -1
+       |         ELSE 64 + (${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)}) % 1024 END AS w0,
+       |    CASE WHEN kind = 'audio' THEN -1
+       |         ELSE 64 + (${nib(4)} * 256 + ${nib(5)} * 16 + ${nib(6)}) % 1024 END AS h0,
+       |    CASE WHEN kind = 'video' THEN 1 + ${nib(7)} ELSE 1 END AS f0
+       |  FROM m)
+       |SELECT doc_id AS media_id, kind, n_bytes,
+       |  CAST(CASE WHEN w0 <= 512 AND h0 <= 512 THEN w0
+       |            ELSE (w0 * 512) // greatest(w0, h0) END AS INTEGER) AS width,
+       |  CAST(CASE WHEN w0 <= 512 AND h0 <= 512 THEN h0
+       |            ELSE (h0 * 512) // greatest(w0, h0) END AS INTEGER) AS height,
+       |  CAST(greatest(1, f0 // 4) AS INTEGER) AS n_frames,
+       |  h AS checksum
+       |FROM raw""".stripMargin
   }
+
+  /** One full engine scheduling round (the O1+O2+O3+J4 composition through
+    * Scheduler.scheduleRoundNarrow — dedup, Bloom+exact seen gate, robots
+    * longest-prefix fold, two-phase salted budgets, global crawl order,
+    * narrow rejoin) over a frontier derived from `documents` with COLUMN
+    * EXPRESSIONS ONLY, so DuckDB replays the whole chain:
+    *  - url_hash enters only as dedup key / tiebreak / salt, and the oracle
+    *    dedups by the (collision-free at this scale) url_norm instead, never
+    *    orders by the hash (discovered_seq = doc_id is unique), and the
+    *    two-phase salted top-K equals the plain per-host window by
+    *    construction (PolitenessSpec);
+    *  - every 10th doc duplicates its predecessor's url (dedup-gate rows);
+    *  - every 8th doc is pre-processed -> its url seeds the seen set. */
+  private def qCrawlSchedule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eff = when(col("doc_id") % 10 === 9, col("doc_id") - 1).otherwise(col("doc_id"))
+    val host = concat(lit("shop"), (eff % 7).cast("string"), lit(".example.com"))
+    val urlNorm = concat(lit("https://"), host,
+      lit("/en/item-"), eff.cast("string"), lit("/p/"), eff.cast("string"))
+    val all = t(s, dir, "documents").select(col("doc_id"), col("source").as("category"),
+        urlNorm.as("url_norm"), host.as("host"),
+        (eff % 4).cast("int").as("host_rank"), (eff % 3 + 2).cast("int").as("depth"))
+      .withColumn("url_hash", xxhash64(col("url_norm")))
+      .withColumn("discovered_seq", col("doc_id"))
+      .withColumn("attempt", lit(0))
+      .withColumn("url", col("url_norm"))
+    val pending = all.filter(col("doc_id") % 8 =!= 0).drop("doc_id")
+    val seen = all.filter(col("doc_id") % 8 === 0).select(col("url_hash"))
+    val robots = (Seq(
+      ("shop3.example.com", "/en/item-1", false, 100),
+      ("shop5.example.com", "/en/item-7", false, 100)) ++
+      (0 until 7).map(i => (s"shop$i.example.com", "/", true, 100)))
+      .toDF("host", "path_prefix", "allow", "crawl_delay_ms")
+    val budgets = (0 until 7).map(i => (s"shop$i.example.com", 50 + 30 * i))
+      .toDF("host", "per_round")
+    val (now, _) = Scheduler.scheduleRoundNarrow(
+      pending, robots, budgets, seen, expectedSeen = 100000L, bloomFpp = 0.03,
+      defaultBudget = 100, numPartitions = 8)
+    now.select(col("crawl_order"), col("url_norm"), col("host"), col("category"))
+  }
+
+  private val qCrawlScheduleSql =
+    """WITH e AS (
+      |  SELECT doc_id, source AS category,
+      |    'shop' || (eff % 7) || '.example.com' AS host,
+      |    'https://shop' || (eff % 7) || '.example.com/en/item-' || eff || '/p/' || eff AS url_norm,
+      |    eff % 4 AS host_rank, eff % 3 + 2 AS depth
+      |  FROM (SELECT doc_id, source,
+      |          CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS eff
+      |        FROM documents)),
+      |seen AS (SELECT DISTINCT url_norm FROM e WHERE doc_id % 8 = 0),
+      |deduped AS (
+      |  SELECT * FROM e WHERE doc_id % 8 <> 0
+      |  QUALIFY row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1),
+      |unseen AS (
+      |  SELECT * FROM deduped WHERE url_norm NOT IN (SELECT url_norm FROM seen)),
+      |allowed AS (
+      |  SELECT * FROM (
+      |    SELECT *, substr(url_norm, 9 + length(host)) AS path FROM unseen)
+      |  WHERE NOT ((host = 'shop3.example.com' AND path LIKE '/en/item-1%')
+      |          OR (host = 'shop5.example.com' AND path LIKE '/en/item-7%'))),
+      |budgeted AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY host ORDER BY host_rank, depth, doc_id) AS rn,
+      |    50 + 30 * CAST(substr(host, 5, 1) AS INT) AS budget
+      |  FROM allowed)
+      |SELECT CAST(row_number() OVER (ORDER BY host_rank, depth, doc_id) - 1 AS BIGINT) AS crawl_order,
+      |  url_norm, host, category
+      |FROM budgeted WHERE rn <= budget""".stripMargin
 
   // ======================================================================
 
@@ -1253,5 +1397,7 @@ object GraftQueries {
     "q_variant_explode" -> qVariantExplodeSql,
     "q_count_barrier" -> qCountBarrierSql,
     "q_agg" -> qAggSql,
-    "q_join3" -> qJoin3Sql)
+    "q_join3" -> qJoin3Sql,
+    "q_crawl_schedule" -> qCrawlScheduleSql,
+    "q_multimodal_decode" -> qMultimodalDecodeSql)
 }
