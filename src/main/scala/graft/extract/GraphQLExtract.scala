@@ -178,6 +178,98 @@ object GraphQLExtract {
     docs.select(cols: _*)
   }
 
+  // ---------------- full 34-column Spinneys detail projection --------------
+
+  /** S7/A6 — the Spinneys brand directory -> lookup dim
+    * (spinneys_extract_data.py:338-414 fetch_brands): entries enter the
+    * lookup only when BOTH name and image_url are truthy (:401), key =
+    * lowercase despaced name (:399), and a later fetch overwrites an earlier
+    * one (dict assignment) -> last-wins by fetch order. Input: (name,
+    * image_url, fetch_seq). Output: (brand_key, image_url) — broadcast-sized
+    * (a merchant has thousands of brands, not billions). */
+  def spinneysBrandDim(brands: DataFrame): DataFrame =
+    brands
+      .filter(col("name").isNotNull && col("name") =!= "" &&
+        col("image_url").isNotNull && col("image_url") =!= "")
+      .groupBy(Extractors.brandKey(col("name")).as("brand_key"))
+      .agg(max_by(col("image_url"), col("fetch_seq")).as("image_url"))
+
+  /** The full 34-column Spinneys Product from EN + optional AR detail docs
+    * (spinneys_extract_data.py:416-554). Differences from [[seoudiProduct]],
+    * each reproduced exactly:
+    *  - barcode = the raw sku, NO alternative_skus concat (:439) and no
+    *    split rows — the sink writes one row per product (:552);
+    *  - brand_image_url = the brand-directory broadcast probe (:445, J2):
+    *    key = lower(despace(brand_en)), miss or empty brand -> '';
+    *  - url = prefix + the FRONTIER slug (:462 — the detail response carries
+    *    no url_key), so docs must supply a `slug` column;
+    *  - same 9-level 0-based safe_get_category_name (:465-476,500-508), same
+    *    offer-nulling incl. the both-None case (:455-458, null-safe ==).
+    * Input: DataFrame with `en_doc`, nullable `ar_doc`, `slug`, `__seq`
+    * (processing-order column for the first-wins barcode gate, :510-511).
+    */
+  def spinneysProduct(
+      docs: DataFrame,
+      runDate: String,
+      brandDim: DataFrame,
+      urlPrefix: String = "https://spinneys-egypt.com/en/",
+      passThrough: Seq[String] = Nil): DataFrame = {
+    val en = parseDetail(col("en_doc"))
+    val ar = parseDetail(col("ar_doc"))
+    def s(c: Column): Column = coalesce(c, lit(""))
+    def cat(side: Column, i: Int): Column =
+      s(try_element_at(side.getField("categories"), lit(i)).getField("name"))
+    val finalP = en.getField("price_range").getField("maximum_price")
+      .getField("final_price").getField("value")
+    val regP = en.getField("price_range").getField("maximum_price")
+      .getField("regular_price").getField("value")
+    val noOffer = finalP <=> regP
+    val brandEn = en.getField("brand").getField("name")
+    val words = Seq("one", "two", "three", "four", "five", "six", "seven", "eight", "nine")
+    val cols: Seq[Column] = Seq(
+      lit("Spinneys").as("merchant"),
+      s(en.getField("id").cast("string")).as("product_id"),
+      s(ar.getField("brand").getField("name")).as("brand_ar"),
+      s(brandEn).as("brand_en"),
+      s(en.getField("sku")).as("barcode"),
+      s(ar.getField("name")).as("name_ar"),
+      s(en.getField("name")).as("name_en")) ++
+      words.zipWithIndex.map { case (w, i) => cat(en, i + 1).as(s"category_${w}_eng") } ++
+      words.zipWithIndex.map { case (w, i) => cat(ar, i + 1).as(s"category_${w}_ar") } ++
+      Seq(
+        priceStr(regP).as("price_before"),
+        when(noOffer, lit("")).otherwise(priceStr(finalP)).as("price_after"),
+        when(noOffer, lit("")).otherwise(s(en.getField("special_from_date"))).as("offer_start_date"),
+        when(noOffer, lit("")).otherwise(s(en.getField("special_to_date"))).as("offer_end_date"),
+        concat(lit(urlPrefix), col("slug")).as("url"),
+        Extractors.brandKey(brandEn).as("__brand_key"),
+        s(en.getField("thumbnail").getField("url")).as("image_url"),
+        lit("Website").as("source_type"),
+        lit(runDate).as("crawled_on"),
+        col("__seq")) ++ passThrough.map(col)
+    docs.select(cols: _*)
+      .join(broadcast(brandDim.select(col("brand_key").as("__brand_key"),
+        col("image_url").as("__brand_image"))), Seq("__brand_key"), "left_outer")
+      .withColumn("brand_image_url",
+        when(col("brand_en") === "", lit(""))
+          .otherwise(coalesce(col("__brand_image"), lit(""))))
+      .drop("__brand_key", "__brand_image")
+      .select(graft.model.Product.sinkOrder.map(col) ++
+        (Seq("__seq") ++ passThrough).map(col): _*)
+  }
+
+  /** Spinneys sink rows: truthy-barcode gate + first-wins barcode dedup in
+    * processing order (:510-511); ONE row per kept product — no per-barcode
+    * explode (unlike Seoudi's :399-445 split loop). */
+  def spinneysSinkRows(products34seq: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("barcode")).orderBy(col("__seq"))
+    products34seq
+      .filter(col("barcode") =!= "")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__seq")
+  }
+
   /** First-wins barcode gate + the reference's sink rows: the processed_
     * barcodes set keeps the FIRST product per barcode in crawl order
     * (:359-361), then writes the combined-barcode row PLUS one row per split

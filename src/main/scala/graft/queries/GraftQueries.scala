@@ -1010,6 +1010,140 @@ object GraftQueries {
        |SELECT $colsExceptBarcode FROM kept""".stripMargin
   }
 
+  /** The full 34-column Spinneys Product with the brand-image broadcast
+    * probe integrated (J2, spinneys_extract_data.py:445): en/ar detail docs
+    * AND the brand directory built with the SAME expressions in both
+    * engines. Coverage: missing AR fetch (every 5th key), null brand (every
+    * 4th), empty sku -> truthy gate (every 7th), shared sku across adjacent
+    * keys -> first-wins dedup, 0..10 categories (9-level safe access),
+    * offer-nulling (every 3rd), brands without a directory image (every 5th
+    * fetch row dropped pre-dim). Single sink row per product — Spinneys has
+    * no barcode split loop. */
+  private def qSpinneysProduct(s: SparkSession, dir: String): DataFrame = {
+    import graft.extract.GraphQLExtract
+    val k = col("p_partkey")
+    val g = k - (k % 2)
+    def str(c: Column): Column = c.cast("string")
+    def money(cents: Column): Column =
+      concat(floor(cents / 100).cast("long").cast("string"), lit("."),
+        lpad((cents % 100).cast("string"), 2, "0"))
+    val rc = (k * 37 % 89900) + 6000
+    val fc = when(k % 3 === 0, rc).otherwise(rc - ((k * 13 % 5000) + 1))
+    val nCats = (k % 11).cast("int")
+    def cats(prefix: String): Column = concat(lit("["), array_join(
+      when(nCats > 0, transform(sequence(lit(0), nCats - 1), i =>
+        concat(lit("{\"name\":\"" + prefix), str(k), lit("-"), str(i), lit("\"}"))))
+        .otherwise(array().cast("array<string>")), ","), lit("]"))
+    def brandJson(prefix: String): Column =
+      when(k % 4 === 0, lit("null"))
+        .otherwise(concat(lit("{\"name\":\"" + prefix), col("p_brand"), lit("\"}")))
+    val sku = when(k % 7 === 0, lit("")).otherwise(concat(lit("S"), str(g)))
+    def doc(name: Column, brand: Column, catsC: Column): Column = concat(
+      lit("{\"data\":{\"product\":{\"id\":"), str(k),
+      lit(",\"sku\":\""), sku,
+      lit("\",\"name\":\""), name,
+      lit("\",\"special_from_date\":\"2024-11-01\",\"special_to_date\":\"2024-11-30\",\"brand\":"), brand,
+      lit(",\"thumbnail\":{\"url\":\"https://img/sp"), str(k),
+      lit(".jpg\"},\"categories\":"), catsC,
+      lit(",\"price_range\":{\"maximum_price\":{\"final_price\":{\"value\":"), money(fc),
+      lit("},\"regular_price\":{\"value\":"), money(rc), lit("}}}}}}"))
+    val part = t(s, dir, "part")
+    val docs = part.select(
+      doc(col("p_name"), brandJson(""), cats("Cat")).as("en_doc"),
+      when(k % 5 === 0, lit(null).cast("string"))
+        .otherwise(doc(concat(lit("AR "), col("p_name")), brandJson("AB "), cats("Arc"))).as("ar_doc"),
+      concat(lit("k"), str(k)).as("slug"),
+      k.as("__seq"))
+    val brands = part.select(col("p_brand").as("name"),
+      when(k % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("https://img/brand-"),
+          Extractors.brandKey(col("p_brand")), lit("-"), (k % 97).cast("string")))
+        .as("image_url"),
+      k.as("fetch_seq"))
+    val dim = GraphQLExtract.spinneysBrandDim(brands)
+    GraphQLExtract.spinneysSinkRows(
+      GraphQLExtract.spinneysProduct(docs, "2024-11-10", dim))
+  }
+
+  private val qSpinneysProductSql = {
+    def docSql(name: String, brandPrefix: String, catPrefix: String) =
+      s"""'{"data":{"product":{"id":' || k || ',"sku":"' || sku || '","name":"' || $name ||
+         |    '","special_from_date":"2024-11-01","special_to_date":"2024-11-30","brand":' ||
+         |    CASE WHEN k % 4 = 0 THEN 'null' ELSE '{"name":"$brandPrefix' || p_brand || '"}' END ||
+         |    ',"thumbnail":{"url":"https://img/sp' || k || '.jpg"},"categories":[' ||
+         |    coalesce(array_to_string(list_transform(range(0, ncats), i -> '{"name":"$catPrefix' || k || '-' || i || '"}'), ','), '') ||
+         |    '],"price_range":{"maximum_price":{"final_price":{"value":' ||
+         |    (fc // 100) || '.' || lpad(CAST(fc % 100 AS VARCHAR), 2, '0') ||
+         |    '},"regular_price":{"value":' || (rc // 100) || '.' || lpad(CAST(rc % 100 AS VARCHAR), 2, '0') ||
+         |    '}}}}}}'""".stripMargin
+    val enCats = (1 to 9).map { i =>
+      val w = Seq("one", "two", "three", "four", "five", "six", "seven", "eight", "nine")(i - 1)
+      s"coalesce(json_extract_string(en_doc, '$$.data.product.categories[${i - 1}].name'), '') AS category_${w}_eng"
+    }.mkString(",\n  ")
+    val arCats = (1 to 9).map { i =>
+      val w = Seq("one", "two", "three", "four", "five", "six", "seven", "eight", "nine")(i - 1)
+      s"coalesce(json_extract_string(ar_doc, '$$.data.product.categories[${i - 1}].name'), '') AS category_${w}_ar"
+    }.mkString(",\n  ")
+    val allCols = graft.model.Product.sinkOrder.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT p_partkey AS k, p_name, p_brand,
+       |    (p_partkey * 37 % 89900) + 6000 AS rc,
+       |    CASE WHEN p_partkey % 3 = 0 THEN (p_partkey * 37 % 89900) + 6000
+       |         ELSE (p_partkey * 37 % 89900) + 6000 - ((p_partkey * 13 % 5000) + 1) END AS fc,
+       |    p_partkey % 11 AS ncats,
+       |    CASE WHEN p_partkey % 7 = 0 THEN ''
+       |         ELSE 'S' || (p_partkey - (p_partkey % 2)) END AS sku
+       |  FROM part),
+       |docs AS (
+       |  SELECT k, 'k' || k AS slug,
+       |    ${docSql("p_name", "", "Cat")} AS en_doc,
+       |    CASE WHEN k % 5 = 0 THEN NULL ELSE ${docSql("'AR ' || p_name", "AB ", "Arc")} END AS ar_doc
+       |  FROM base),
+       |dim AS (
+       |  SELECT lower(replace(name, ' ', '')) AS bkey, arg_max(image_url, fetch_seq) AS image_url
+       |  FROM (SELECT p_brand AS name,
+       |          CASE WHEN p_partkey % 5 = 0 THEN NULL
+       |               ELSE 'https://img/brand-' || lower(replace(p_brand, ' ', '')) || '-' || (p_partkey % 97) END AS image_url,
+       |          p_partkey AS fetch_seq
+       |        FROM part)
+       |  WHERE name IS NOT NULL AND name <> '' AND image_url IS NOT NULL
+       |  GROUP BY 1),
+       |plucked AS (
+       |  SELECT k,
+       |  'Spinneys' AS merchant,
+       |  coalesce(json_extract_string(en_doc, '$$.data.product.id'), '') AS product_id,
+       |  coalesce(json_extract_string(ar_doc, '$$.data.product.brand.name'), '') AS brand_ar,
+       |  coalesce(json_extract_string(en_doc, '$$.data.product.brand.name'), '') AS brand_en,
+       |  coalesce(json_extract_string(en_doc, '$$.data.product.sku'), '') AS barcode,
+       |  coalesce(json_extract_string(ar_doc, '$$.data.product.name'), '') AS name_ar,
+       |  coalesce(json_extract_string(en_doc, '$$.data.product.name'), '') AS name_en,
+       |  $enCats,
+       |  $arCats,
+       |  CAST(CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.regular_price.value') AS DECIMAL(18,2)) AS VARCHAR) AS price_before,
+       |  CASE WHEN CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.final_price.value') AS DECIMAL(18,2))
+       |            = CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.regular_price.value') AS DECIMAL(18,2))
+       |       THEN '' ELSE CAST(CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.final_price.value') AS DECIMAL(18,2)) AS VARCHAR) END AS price_after,
+       |  CASE WHEN CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.final_price.value') AS DECIMAL(18,2))
+       |            = CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.regular_price.value') AS DECIMAL(18,2))
+       |       THEN '' ELSE coalesce(json_extract_string(en_doc, '$$.data.product.special_from_date'), '') END AS offer_start_date,
+       |  CASE WHEN CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.final_price.value') AS DECIMAL(18,2))
+       |            = CAST(json_extract(en_doc, '$$.data.product.price_range.maximum_price.regular_price.value') AS DECIMAL(18,2))
+       |       THEN '' ELSE coalesce(json_extract_string(en_doc, '$$.data.product.special_to_date'), '') END AS offer_end_date,
+       |  'https://spinneys-egypt.com/en/' || slug AS url,
+       |  coalesce(json_extract_string(en_doc, '$$.data.product.thumbnail.url'), '') AS image_url,
+       |  'Website' AS source_type,
+       |  '2024-11-10' AS crawled_on
+       |  FROM docs),
+       |withimg AS (
+       |  SELECT p.*, CASE WHEN p.brand_en = '' THEN ''
+       |                   ELSE coalesce(d.image_url, '') END AS brand_image_url
+       |  FROM plucked p LEFT JOIN dim d ON lower(replace(p.brand_en, ' ', '')) = d.bkey),
+       |kept AS (
+       |  SELECT * FROM withimg WHERE barcode <> ''
+       |  QUALIFY row_number() OVER (PARTITION BY barcode ORDER BY k) = 1)
+       |SELECT $allCols FROM kept""".stripMargin
+  }
+
   /** G3 — ConfigurableProduct variants explode (spinneys:667-704): docs with
     * 0..3 variants built identically in both engines; explode_outer keeps a
     * single empty-variant row for simple products. */
@@ -1347,6 +1481,7 @@ object GraftQueries {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_graphql_pluck" -> (qGraphqlPluck _),
     "q_graphql_product" -> (qGraphqlProduct _),
+    "q_spinneys_product" -> (qSpinneysProduct _),
     "q_variant_explode" -> (qVariantExplode _),
     "q_count_barrier" -> (qCountBarrier _),
     "q_agg" -> (qAgg _),
@@ -1394,6 +1529,7 @@ object GraftQueries {
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_graphql_pluck" -> qGraphqlPluckSql,
     "q_graphql_product" -> qGraphqlProductSql,
+    "q_spinneys_product" -> qSpinneysProductSql,
     "q_variant_explode" -> qVariantExplodeSql,
     "q_count_barrier" -> qCountBarrierSql,
     "q_agg" -> qAggSql,

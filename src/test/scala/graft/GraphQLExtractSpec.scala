@@ -105,4 +105,50 @@ class GraphQLExtractSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
     assert(auditTorn == Map("a" -> true, "b" -> false))
   }
+
+  test("Spinneys: brand-image probe, truthy-barcode gate, single sink row (spinneys:416-554)") {
+    import spark.implicits._
+    def doc(id: Long, sku: String, name: String, brand: Option[String]): String = {
+      val b = brand.map(n => s"""{"name":"$n"}""").getOrElse("null")
+      s"""{"data":{"product":{"id":$id,"sku":"$sku","name":"$name","brand":$b,
+         |"thumbnail":{"url":"https://img/$id.jpg"},
+         |"categories":[{"name":"C$id"}],
+         |"price_range":{"maximum_price":{"final_price":{"value":10.5},
+         |"regular_price":{"value":12.0}}}}}}""".stripMargin.replace("\n", "")
+    }
+    val docs = Seq(
+      // (en, ar, slug, seq): normal w/ known brand, dup barcode (loses),
+      // empty sku (gated), unknown brand, missing-image brand
+      (doc(1, "B1", "P1", Some("Acme Co")), doc(1, "B1", "PA1", Some("اكمي")), "s1", 1L),
+      (doc(2, "B1", "P2", Some("Acme Co")), null, "s2", 2L),
+      (doc(3, "", "P3", Some("Acme Co")), null, "s3", 3L),
+      (doc(4, "B4", "P4", Some("NoDir Brand")), null, "s4", 4L),
+      (doc(5, "B5", "P5", None), null, "s5", 5L))
+      .toDF("en_doc", "ar_doc", "slug", "__seq")
+    // directory: "Acme Co" has an image (later fetch overwrites earlier —
+    // last wins); "NoDir Brand" fetched without an image -> never enters
+    val dim = GraphQLExtract.spinneysBrandDim(Seq(
+      ("Acme Co", "https://img/old.png", 1L),
+      ("Acme Co", "https://img/acme.png", 2L),
+      ("NoDir Brand", null, 3L),
+      ("", "https://img/empty.png", 4L)).toDF("name", "image_url", "fetch_seq"))
+    val out = GraphQLExtract.spinneysSinkRows(
+      GraphQLExtract.spinneysProduct(docs, "2024-11-10", dim))
+      .collect().map(r => r.getString(r.fieldIndex("url")) -> r).toMap
+    // gate: sku ''; dedup: B1 first-wins -> s1 kept, s2 dropped
+    assert(out.keySet == Set("https://spinneys-egypt.com/en/s1",
+      "https://spinneys-egypt.com/en/s4", "https://spinneys-egypt.com/en/s5"))
+    val p1 = out("https://spinneys-egypt.com/en/s1")
+    assert(p1.getString(p1.fieldIndex("brand_image_url")) == "https://img/acme.png")
+    assert(p1.getString(p1.fieldIndex("brand_ar")) == "اكمي")
+    assert(p1.getString(p1.fieldIndex("name_ar")) == "PA1")
+    assert(p1.getString(p1.fieldIndex("price_before")) == "12.00")
+    assert(p1.getString(p1.fieldIndex("price_after")) == "10.50")
+    val p4 = out("https://spinneys-egypt.com/en/s4")
+    assert(p4.getString(p4.fieldIndex("brand_image_url")) == "") // no dir image
+    val p5 = out("https://spinneys-egypt.com/en/s5")
+    assert(p5.getString(p5.fieldIndex("brand_en")) == "")
+    assert(p5.getString(p5.fieldIndex("brand_image_url")) == "") // null brand
+    assert(p5.getString(p5.fieldIndex("name_ar")) == "")         // ar fetch failed
+  }
 }
