@@ -120,8 +120,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val frontierN = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRONTIER", "1000000").toLong
+    // the round-1 probe scale, kept alongside 1M so round-over-round
+    // comparisons stay same-scale (VERDICT r02 #10)
+    val frontier4N = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRONTIER4", "4000000").toLong
     val benchDir = "/tmp/graft_bench"
     val frontierPath = s"$benchDir/frontier"
+    val frontier4Path = s"$benchDir/frontier4m"
     val warmupPath = s"$benchDir/frontier_warmup"
     val pagesPath = s"$benchDir/pages"
     val pagesN = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "200000").toLong
@@ -144,6 +148,8 @@ object Bench {
           raw(frontierN, 64).write.mode("overwrite").parquet(frontierPath)
           raw(200000, 16).write.mode("overwrite").parquet(warmupPath)
         }
+        if (!new java.io.File(s"$frontier4Path/_SUCCESS").exists())
+          raw(frontier4N, 64).write.mode("overwrite").parquet(frontier4Path)
         if (!new java.io.File(s"$pagesPath/_SUCCESS").exists())
           graft.gen.Synthetic.pages(s, pagesN, 64).toDF()
             .write.mode("overwrite").parquet(pagesPath)
@@ -161,10 +167,13 @@ object Bench {
     // min-of-rounds controlled numbers (BASELINE.md methodology), never a
     // single host-throttling episode
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val rounds4 = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS4", "2").toInt
     val cores = Seq(2, 8, 32)
     val tSched = scala.collection.mutable.Map(cores.map(_ -> Double.MaxValue): _*)
+    val tSched4 = scala.collection.mutable.Map(cores.map(_ -> Double.MaxValue): _*)
     val tExtr = scala.collection.mutable.Map(cores.map(_ -> Double.MaxValue): _*)
     var nSched = 0L
+    var nSched4 = 0L
     var nExtr = 0L
     for (i <- 1 to rounds; c <- cores) {
       val warmS: Option[SparkSession => Unit] =
@@ -173,6 +182,10 @@ object Bench {
       tSched(c) = math.min(tSched(c), dS); nSched = mS
       val (dE, mE) = timeOnce(c, "extract")(s => extractRound(s, pagesPath))
       tExtr(c) = math.min(tExtr(c), dE); nExtr = mE
+    }
+    for (_ <- 1 to rounds4; c <- cores) {
+      val (d4, m4) = timeOnce(c, "sched4m")(s => scheduleRound(s, frontier4Path, c))
+      tSched4(c) = math.min(tSched4(c), d4); nSched4 = m4
     }
     val thrS = cores.map(c => c -> frontierN / tSched(c)).toMap
     val thrE = cores.map(c => c -> nExtr / tExtr(c)).toMap
@@ -210,6 +223,11 @@ object Bench {
         cores.map(c => s""""sched_sec_local$c":${f"${tSched(c)}%.2f"}""").mkString(",") + "," +
         cores.map(c => s""""sched_urls_per_sec_local$c":${f"${thrS(c)}%.0f"}""").mkString(",") + "," +
         s""""sched_scaling_eff_2_to_8":${f"$effS28%.3f"},"sched_scaling_eff_8_to_32":${f"$effS%.3f"}},""" +
+        s""""crawl_bench_4m":{"frontier_urls":$frontier4N,"scheduled":$nSched4,""" +
+        cores.map(c => s""""sched_sec_local$c":${f"${tSched4(c)}%.2f"}""").mkString(",") + "," +
+        cores.map(c => s""""sched_urls_per_sec_local$c":${f"${frontier4N / tSched4(c)}%.0f"}""").mkString(",") + "," +
+        s""""sched_scaling_eff_2_to_8":${f"${(frontier4N / tSched4(8)) / (4.0 * (frontier4N / tSched4(2)))}%.3f"},""" +
+        s""""sched_scaling_eff_8_to_32":${f"${(frontier4N / tSched4(32)) / (4.0 * (frontier4N / tSched4(8)))}%.3f"}},""" +
         s""""extract_bench":{"pages":${nExtr * 2},"products":$nExtr,""" +
         cores.map(c => s""""extract_sec_local$c":${f"${tExtr(c)}%.2f"}""").mkString(",") + "," +
         cores.map(c => s""""extract_urls_per_sec_local$c":${f"${thrE(c)}%.0f"}""").mkString(",") + "," +

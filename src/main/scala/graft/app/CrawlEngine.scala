@@ -48,18 +48,31 @@ final class CrawlEngine(
   import spark.implicits._
 
   val frontierTable = new SnapshotTable(spark, s"$stateDir/frontier")
+  /** The SECOND frontier (S8): Spinneys' discounted-products drain runs
+    * after the catalog with its OWN resume cursor
+    * (spinneys_extract_data.py:557-579 separate progress file, resume filter
+    * :743-758 — note the reference's deals save actually writes the catalog
+    * log and reprocesses the matched slug inclusively; both are artifacts of
+    * slug-cursor resume that snapshot-based resume supersedes: each frontier
+    * has an independent checkpointed snapshot id, resume is exact for both,
+    * and the shared seen/barcode gates dedup across them). */
+  val dealsFrontierTable = new SnapshotTable(spark, s"$stateDir/deals_frontier")
   val seenTable = new SnapshotTable(spark, s"$stateDir/seen")
   val productsTable = new SnapshotTable(spark, s"$stateDir/products")
   val quarantineTable = new SnapshotTable(spark, s"$stateDir/quarantine")
   val scheduleTable = new SnapshotTable(spark, s"$stateDir/schedule")
   val lineageTable = new SnapshotTable(spark, s"$stateDir/lineage")
+  /** Run-global processed-barcodes set (seoudi:20 / spinneys:12) for
+    * merchants with `barcodeRunGate` — spans rounds AND both frontiers. */
+  val barcodeSeenTable = new SnapshotTable(spark, s"$stateDir/barcode_seen")
 
   private val mapper = new ObjectMapper()
   private val ckptPath = new Path(s"$stateDir/checkpoint.json")
   private lazy val fs: FileSystem = ckptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   final case class Checkpoint(round: Int, frontier: Int, seen: Int, products: Int,
-      quarantine: Int, schedule: Int, lineage: Int, scheduledTotal: Long)
+      quarantine: Int, schedule: Int, lineage: Int, scheduledTotal: Long,
+      deals: Int = 0, barcodeSeen: Int = 0)
 
   /** Observed (plan-attached) metrics of the most recent round: scheduled,
     * hosts (approx), max_attempt. Populated by the observe() on the
@@ -80,7 +93,8 @@ final class CrawlEngine(
     val n = mapper.readTree(in); in.close()
     Some(Checkpoint(n.path("round").asInt(), n.path("frontier").asInt(), n.path("seen").asInt(),
       n.path("products").asInt(), n.path("quarantine").asInt(), n.path("schedule").asInt(),
-      n.path("lineage").asInt(), n.path("scheduledTotal").asLong()))
+      n.path("lineage").asInt(), n.path("scheduledTotal").asLong(),
+      n.path("deals").asInt(), n.path("barcodeSeen").asInt()))
   }
 
   /** Streaming-ingest appends (FrontierStream) must parent from the RESUME-
@@ -104,6 +118,7 @@ final class CrawlEngine(
     node.put("products", c.products); node.put("quarantine", c.quarantine)
     node.put("schedule", c.schedule); node.put("lineage", c.lineage)
     node.put("scheduledTotal", c.scheduledTotal)
+    node.put("deals", c.deals); node.put("barcodeSeen", c.barcodeSeen)
     val tmp = new Path(s"$stateDir/.checkpoint.json.tmp")
     val out = fs.create(tmp, true); out.write(mapper.writeValueAsBytes(node)); out.close()
     if (fs.exists(ckptPath)) fs.delete(ckptPath, false)
@@ -125,34 +140,43 @@ final class CrawlEngine(
       .withColumn("host_rank", lit(0))
       .withColumn("attempt", lit(0))
 
-  /** Initialize state from a frontier Dataset (FrontierEntry columns). */
-  def init(frontier: DataFrame): Unit = {
+  /** Initialize state from a frontier Dataset (FrontierEntry columns);
+    * optionally a second DEALS frontier with its own independent cursor. */
+  def init(frontier: DataFrame, dealsFrontier: Option[DataFrame] = None): Unit = {
     val pending = frontier.filter(!col("is_processed"))
     frontierTable.overwrite(pending)
     // pre-processed rows are already "seen" (reference: is_processed=True
     // rows are never re-fetched, helpers.py:113-114)
     val preSeen = frontier.filter(col("is_processed")).select(col("url_hash"))
     seenTable.overwrite(preSeen)
+    val dealsId = dealsFrontier.map(d =>
+      dealsFrontierTable.overwrite(d.filter(!col("is_processed")))).getOrElse(0)
     writeCheckpoint(Checkpoint(0,
       frontierTable.currentSnapshot.map(_.id).getOrElse(0),
-      seenTable.currentSnapshot.map(_.id).getOrElse(0), 0, 0, 0, 0, 0L))
+      seenTable.currentSnapshot.map(_.id).getOrElse(0), 0, 0, 0, 0, 0L,
+      deals = dealsId))
   }
 
   private def emptyFrontierLike(df: DataFrame): DataFrame = df.limit(0)
 
-  /** Run one round against the pages table. Returns #URLs scheduled. */
-  def runRound(pages: DataFrame, robots: DataFrame, budgets: DataFrame): Long = {
+  /** Run one round against the pages table; `deals = true` drains the
+    * second frontier (own snapshot cursor, shared seen/product/barcode
+    * state). Returns #URLs scheduled. */
+  def runRound(pages: DataFrame, robots: DataFrame, budgets: DataFrame,
+      deals: Boolean = false): Long = {
     val ckpt = readCheckpoint().getOrElse(Checkpoint(0, 0, 0, 0, 0, 0, 0, 0L))
     val round = ckpt.round + 1
+    val activeFrontier = if (deals) dealsFrontierTable else frontierTable
+    val activeCursor = if (deals) ckpt.deals else ckpt.frontier
 
     // streaming-ingest appends on top of the checkpointed snapshot are
     // legitimate frontier content; a torn round commit is not (see
     // SnapshotTable.resolveBase) — reads AND this round's appends both
     // anchor on the resolved base so a kill between table commits leaves
     // the torn snapshot orphaned instead of chained (O6 exactness)
-    val frontierBase = frontierTable.resolveBase(ckpt.frontier, "ingest")
+    val frontierBase = activeFrontier.resolveBase(activeCursor, "ingest")
     val seenBase = seenTable.resolveBase(ckpt.seen, "ingest")
-    val pendingOpt = frontierTable.readAt(frontierBase)
+    val pendingOpt = activeFrontier.readAt(frontierBase)
     val pending = pendingOpt.getOrElse(return 0L)
     if (pending.isEmpty) return 0L
 
@@ -164,22 +188,29 @@ final class CrawlEngine(
     // discovered_seq, attempt) projection; url/category strings rejoin once
     // at the end. Bloom sizing reads the seen cardinality from the snapshot
     // MANIFEST (rowCount maintained at every commit) — no count scan.
+    // per-round cache scope: every frame the round persists (here and down
+    // the scheduler/politeness/seen call chain) is released at the commit
+    // barrier — NOT spark.catalog.clearCache(), which would evict unrelated
+    // caches in a shared session (VERDICT r02)
+    val scope = new graft.util.CacheScope
+    try {
     val seen = seenTable.readAt(seenBase)
       .getOrElse(Seq.empty[Long].toDF("url_hash"))
     val seenCount = seenTable.snapshotAt(seenBase).map(_.rowCount).getOrElse(0L)
     val (scheduled0, deferred) = Scheduler.scheduleRoundNarrow(
-      pending, robots, budgets, seen, seenCount, bloomFpp, defaultBudget, numPartitions)
+      pending, robots, budgets, seen, seenCount, bloomFpp, defaultBudget, numPartitions,
+      scope = scope)
     // A3: plan-attached observe metrics — the scheduled count and per-round
     // host stats ride the materializing action for free (the reference's
     // count barriers, spinneys_extract_data.py:216-238, re-expressed as
     // observed metrics instead of extra aggregation jobs)
     val roundObs = org.apache.spark.sql.Observation(s"round_$round")
-    val scheduled = Scheduler.saltedByHost(scheduled0, numPartitions, saltFactor)
+    val scheduled = scope.track(Scheduler.saltedByHost(scheduled0, numPartitions, saltFactor)
       .observe(roundObs,
         count(lit(1)).as("scheduled"),
         approx_count_distinct(col("host")).as("hosts"),
         max(col("attempt")).as("max_attempt"))
-      .persist()
+      .persist())
     scheduled.count() // materialize once; all metrics land in roundObs
     val scheduledCount = roundObs.get("scheduled").asInstanceOf[Long]
     lastRoundMetrics = roundObs.get
@@ -194,13 +225,13 @@ final class CrawlEngine(
       .select(col("url_norm"), col("url").as("frontier_url"), col("category"),
         col("crawl_order"), col("attempt"), col("host"))
       .join(pagesKeyed, col("url_key") === col("url_norm"), "inner")
-    val withFields = Extractors.withPageFields(joined).persist()
+    val withFields = scope.track(merchant.pageFields(joined).persist())
     // persisted: products + extraction-failure keys both read the pivot
-    val pivoted = Extractors.pivotLangs(withFields, "url_norm")
+    val pivoted = scope.track(Extractors.pivotLangs(withFields, "url_norm")
       .join(scheduled.select(col("url_norm"), col("crawl_order"), col("category")), Seq("url_norm"))
       .withColumn("url_en", coalesce(col("url_en"), col("url_norm")))
       .withColumn("__extract_failed", merchant.extractionFailed)
-      .persist()
+      .persist())
 
     // The reference's except-path (e.g. Metro NameError when the ld+json
     // island is missing, metro:176-182): the URL yields no product, is NOT
@@ -218,7 +249,22 @@ final class CrawlEngine(
           .withColumn("__rn", row_number().over(barcodeW)).filter(col("__rn") === 1)
           .drop("__rn", "crawl_order")
       } else productsOrdered.drop("crawl_order")
-    val products = Extractors.explodeBarcodes(dedupedProducts)
+    // run-global processed_barcodes gate (seoudi:359 / spinneys:510): a
+    // barcode already sunk in ANY earlier round/frontier never sinks again
+    val barcodeBase = barcodeSeenTable.resolveBase(ckpt.barcodeSeen, "ingest")
+    // broadcast anti-join: a merchant catalog is bounded (~10^6 barcodes,
+    // the in-memory set the reference holds), unlike the URL frontier —
+    // if a merchant ever outgrew broadcast scale this becomes
+    // UrlSeen.antiJoin over xxhash64(barcode)
+    val gatedProducts = scope.track((
+      if (merchant.barcodeRunGate) {
+        val seenBarcodes = barcodeSeenTable.readAt(barcodeBase)
+          .getOrElse(Seq.empty[String].toDF("barcode"))
+        dedupedProducts.join(broadcast(seenBarcodes), Seq("barcode"), "left_anti")
+          // the USING join hoists the key column first — restore sink order
+          .select(dedupedProducts.columns.map(col).toSeq: _*)
+      } else dedupedProducts).persist()) // sink rows + new-barcode set read it
+    val products = merchant.sinkRows(gatedProducts)
 
     // O4/O5: misses (no page) and extraction failures -> retry or
     // quarantine. Only SUCCESSFUL extractions become "seen" (reference:
@@ -240,25 +286,43 @@ final class CrawlEngine(
 
     // S11/J5/P14: harvest links from fetched EN pages -> next-generation
     // frontier entries; host_rank = round so later generations sort after
-    // earlier ones (BFS frontier expansion)
-    val newEntries = withFields
-      .filter(col("lang") === "en")
-      .select(col("category"), col("crawl_order"),
-        posexplode(col("fields.links")).as(Seq("link_idx", "href")))
-      .filter(col("href") =!= "N/A" && col("href").startsWith("http"))
-      .withColumn("url", col("href"))
-      .withColumn("__cp", graft.plans.UrlCanonPartsExpr.canonParts(col("url")))
-      .withColumn("url_norm", col("__cp.url_norm"))
-      .withColumn("url_hash", xxhash64(col("url_norm")))
-      .withColumn("host", col("__cp.host"))
-      .withColumn("depth", col("__cp.depth"))
-      .drop("__cp")
-      .withColumn("host_rank", lit(round))
-      .withColumn("is_processed", lit(false))
-      .withColumn("discovered_seq",
-        col("crawl_order") * 1000 + col("link_idx") + lit(round.toLong * 1000000000L))
-      .withColumn("attempt", lit(0))
-      .select(frontierCols: _*)
+    // earlier ones (BFS frontier expansion). The merchant supplies the
+    // keep-filter (F5, e.g. Oscar's `show_product`) and an optional base for
+    // relative hrefs (oscar:33-36). discovered_seq is collision-free by
+    // construction: link_idx < LinkSeqMultiplier (guarded), crawl_order *
+    // multiplier stays under the round base — two pages can never mint the
+    // same (url_hash, discovered_seq), so the narrow rejoin key is unique
+    // (ADVICE r02). GraphQL merchants have no link field — no harvest.
+    val hasLinks = withFields.schema("fields").dataType match {
+      case s: org.apache.spark.sql.types.StructType => s.fieldNames.contains("links")
+      case _ => false
+    }
+    val newEntries = if (!hasLinks) emptyFrontierLike(pending) else {
+      val raw = withFields
+        .filter(col("lang") === "en")
+        .select(col("category"), col("crawl_order"),
+          posexplode(col("fields.links")).as(Seq("link_idx", "href")))
+      val resolved = merchant.absolutizeBase
+        .map(b => raw.withColumn("href", graft.url.UrlCanon.absolutize(col("href"), b)))
+        .getOrElse(raw)
+      resolved
+        .filter(merchant.harvestFilter(col("href")) &&
+          col("link_idx") < CrawlEngine.LinkSeqMultiplier)
+        .withColumn("url", col("href"))
+        .withColumn("__cp", graft.plans.UrlCanonPartsExpr.canonParts(col("url")))
+        .withColumn("url_norm", col("__cp.url_norm"))
+        .withColumn("url_hash", xxhash64(col("url_norm")))
+        .withColumn("host", col("__cp.host"))
+        .withColumn("depth", col("__cp.depth"))
+        .drop("__cp")
+        .withColumn("host_rank", lit(round))
+        .withColumn("is_processed", lit(false))
+        .withColumn("discovered_seq",
+          col("crawl_order") * CrawlEngine.LinkSeqMultiplier + col("link_idx") +
+            lit(round.toLong * CrawlEngine.RoundSeqBase))
+        .withColumn("attempt", lit(0))
+        .select(frontierCols: _*)
+    }
 
     // next frontier = deferred ∪ retries ∪ new links (minus just-fetched)
     val nextFrontier = deferred.select(frontierCols: _*)
@@ -278,7 +342,7 @@ final class CrawlEngine(
     // Every append parents from the CHECKPOINTED snapshot (via resolveBase),
     // so a kill between any two commits leaves the partial round orphaned —
     // the resumed round re-appends onto the same base with zero duplication.
-    val fTid = frontierTable.overwrite(nextFrontier, s"round:$round")
+    val fTid = activeFrontier.overwrite(nextFrontier, s"round:$round")
     maybeCrash(1)
     val sTid = seenTable.append(fetchedHashes, s"round:$round", seenBase)
     maybeCrash(2)
@@ -290,32 +354,66 @@ final class CrawlEngine(
     maybeCrash(4)
     val schedTid = scheduleTable.append(
       scheduled.select(col("crawl_order"), lit(round).as("round"), col("host"),
-        col("url_norm"), col("url"), col("category"), col("attempt")),
+        col("url_norm"), col("url"), col("category"), col("attempt"),
+        lit(if (deals) "deals" else "catalog").as("frontier")),
       s"round:$round", scheduleTable.resolveBase(ckpt.schedule, "ingest"))
     maybeCrash(5)
     val lTid = lineageTable.append(lineage, s"round:$round",
       lineageTable.resolveBase(ckpt.lineage, "ingest"))
     maybeCrash(6)
-    writeCheckpoint(Checkpoint(round, fTid, sTid, pTid, qTid, schedTid, lTid,
-      ckpt.scheduledTotal + scheduledCount))
-    scheduled.unpersist()
-    // release the range-partitioned intermediate withCrawlOrder cached; the
-    // round commit is a barrier, nothing else is cached by the engine
-    spark.catalog.clearCache()
+    val bTid =
+      if (merchant.barcodeRunGate) {
+        val t = barcodeSeenTable.append(gatedProducts.select(col("barcode")).distinct(),
+          s"round:$round", barcodeBase)
+        maybeCrash(7)
+        t
+      } else ckpt.barcodeSeen
+    writeCheckpoint(Checkpoint(round,
+      if (deals) ckpt.frontier else fTid,
+      sTid, pTid, qTid, schedTid, lTid,
+      ckpt.scheduledTotal + scheduledCount,
+      deals = if (deals) fTid else ckpt.deals,
+      barcodeSeen = bTid))
     scheduledCount
+    // release exactly the frames THIS round persisted (engine + scheduler +
+    // politeness + seen-gate call chain) — never the whole session cache —
+    // on success AND on a torn round (a long-lived driver retries rounds)
+    } finally scope.unpersistAll()
   }
 
-  /** Drain the frontier to exhaustion (or maxRounds). Returns total URLs
-    * scheduled across the run. */
-  def run(pages: DataFrame, robots: DataFrame, budgets: DataFrame, maxRounds: Int = 100): Long = {
+  /** Drain a frontier to exhaustion (or maxRounds). Returns total URLs
+    * scheduled. */
+  private def drain(pages: DataFrame, robots: DataFrame, budgets: DataFrame,
+      maxRounds: Int, deals: Boolean): Long = {
     var total = 0L
     var rounds = 0
     var last = -1L
     while (last != 0L && rounds < maxRounds) {
-      last = runRound(pages, robots, budgets)
+      last = runRound(pages, robots, budgets, deals)
       total += last
       rounds += 1
     }
     total
   }
+
+  /** Drain the catalog frontier, then the deals frontier (the reference's
+    * run order: extract_all_spinneys_product_data then
+    * extract_discounted_products, spinneys:778-788). Returns total URLs
+    * scheduled across the run. */
+  def run(pages: DataFrame, robots: DataFrame, budgets: DataFrame, maxRounds: Int = 100): Long = {
+    var total = drain(pages, robots, budgets, maxRounds, deals = false)
+    if (!dealsFrontierTable.isEmpty)
+      total += drain(pages, robots, budgets, maxRounds, deals = true)
+    total
+  }
+}
+
+object CrawlEngine {
+  /** discovered_seq minting for harvested links: seq = crawl_order * this +
+    * link_idx + round * RoundSeqBase. link_idx is guarded < this, and
+    * crawl_order * this stays far below RoundSeqBase, so the composite is
+    * collision-free (the narrow-schedule rejoin keys on it). */
+  val LinkSeqMultiplier: Long = 1000000L
+  /** Room for 10^9 crawl_orders per round and 9000+ rounds under Long.Max. */
+  val RoundSeqBase: Long = 1000000000000000L
 }

@@ -142,7 +142,8 @@ object GraphQLExtract {
     * Output adds `__seq` (the EN doc's product id) for the caller's
     * deterministic first-wins barcode dedup (processed_barcodes, :359-361).
     */
-  def seoudiProduct(docs: DataFrame, runDate: String, urlPrefix: String): DataFrame = {
+  def seoudiProduct(docs: DataFrame, runDate: String, urlPrefix: String,
+      passThrough: Seq[String] = Nil): DataFrame = {
     val en = parseDetail(col("en_doc"))
     val ar = parseDetail(col("ar_doc"))
     def s(c: Column): Column = coalesce(c, lit(""))
@@ -174,7 +175,7 @@ object GraphQLExtract {
         s(en.getField("thumbnail").getField("url")).as("image_url"),
         lit("Website").as("source_type"),
         lit(runDate).as("crawled_on"),
-        en.getField("id").as("__seq"))
+        en.getField("id").as("__seq")) ++ passThrough.map(col)
     docs.select(cols: _*)
   }
 

@@ -85,7 +85,8 @@ object Politeness {
       frontier: DataFrame,
       budgets: DataFrame,
       defaultBudget: Int,
-      saltFactor: Int = 16): DataFrame = {
+      saltFactor: Int = 16,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
     val joined = frontier
       .join(broadcast(budgets), Seq("host"), "left_outer")
       .withColumn("__budget", coalesce(col("per_round"), lit(defaultBudget)))
@@ -94,7 +95,7 @@ object Politeness {
       .orderBy(priority: _*)
     // persisted: both the candidates and overflow branches read it — without
     // this the whole upstream (scan + canon + dedup) executes twice
-    val phase1 = joined.withColumn("__rn1", row_number().over(w1)).persist()
+    val phase1 = scope.track(joined.withColumn("__rn1", row_number().over(w1)).persist())
     val candidates = phase1.filter(col("__rn1") <= col("__budget"))
     val overflow = phase1.filter(col("__rn1") > col("__budget"))
       .withColumn("scheduled_now", lit(false))

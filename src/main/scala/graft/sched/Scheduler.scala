@@ -41,12 +41,16 @@ object Scheduler {
     * the per-parent-partition mapPartitions invocation still sees one
     * consistent `__pid` per iterator, so the offsets stay correct under any
     * physical re-packing. */
-  def withCrawlOrder(df: DataFrame, sortCols: Seq[Column], numPartitions: Int): DataFrame = {
-    val ranged = df
+  def withCrawlOrder(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      numPartitions: Int,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    val ranged = scope.track(df
       .repartitionByRange(numPartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist() // materialized by the counts job below, with correct pids
+      .persist()) // materialized by the counts job below, with correct pids
     val counts: Array[(Int, Long)] = ranged
       .groupBy(col("__pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
@@ -103,13 +107,30 @@ object Scheduler {
 
   /** Full scheduling round with NARROW shuffles: robots filtering runs on
     * the wide rows first (broadcast rules + expression fold — shuffle-free),
-    * then dedup, the seen gate, the budget windows and the range-partitioned
+    * then the seen gate, dedup, the budget windows and the range-partitioned
     * global ordering all shuffle only
     * (url_hash, host, depth, host_rank, discovered_seq, attempt) — the long
-    * url/url_norm/category strings cross the wire exactly once, in the final
-    * rejoin keyed by the unique (url_hash, discovered_seq). Cuts per-round
-    * shuffle bytes several-fold versus shuffling wide rows through all four
-    * exchanges; identical output (CrawlEngineSpec oracle + SchedulerSpec).
+    * url/url_norm/category strings cross the wire exactly once, keyed by
+    * (url_hash, discovered_seq). Identical output to the wide single-window
+    * form (CrawlEngineSpec oracle + SchedulerSpec).
+    *
+    * Exchange budget (the round-2 profile showed dedup + budget phase-1 as
+    * separate full-frontier exchanges): equal url_hash implies equal host
+    * AND equal pmod(url_hash, salt), so ONE explicit repartition on
+    * (host, salt) co-locates every url_hash group AND is exactly the
+    * distribution budget phase-1 needs — the dedup (a lag window ordered by
+    * (url_hash, discovered_seq)) and the phase-1 top-K window both run on
+    * that single exchange, each adding only a sort. The seen gate runs
+    * BEFORE it (the gate drops whole url_hash groups, so it commutes with
+    * dedup) because its internal union would hide the partitioning anyway.
+    *
+    * The strings side is reduced to ONE deterministic row per join key
+    * (lexicographic-min struct): at-least-once ingest can replay identical
+    * frontier rows, and a key collision would otherwise fan out the rejoin
+    * into duplicate scheduled rows (ADVICE r02 medium). The groupBy hashes
+    * on the join keys, so the rejoin reuses that exact partitioning — the
+    * wide rows still cross the wire once.
+    *
     * Returns (scheduled-with-crawl_order, deferred), both wide. */
   def scheduleRoundNarrow(
       pending: DataFrame,
@@ -119,25 +140,41 @@ object Scheduler {
       expectedSeen: Long,
       bloomFpp: Double,
       defaultBudget: Int,
-      numPartitions: Int): (DataFrame, DataFrame) = {
+      numPartitions: Int,
+      saltFactor: Int = 16,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): (DataFrame, DataFrame) = {
     import graft.seen.UrlSeen
     import org.apache.spark.sql.expressions.Window
     val allowed = Politeness.applyRobots(pending, robots)
     val narrowCols = Seq("url_hash", "host", "depth", "host_rank", "discovered_seq", "attempt")
     val joinKeys = Seq("url_hash", "discovered_seq")
     // persisted: both the narrow pipeline and the string side scan `allowed`
-    val allowedP = allowed.persist()
-    val strings = allowedP.drop(narrowCols.filterNot(joinKeys.contains): _*)
+    val allowedP = scope.track(allowed.persist())
+    val stringCols = allowedP.columns.toSeq
+      .filterNot(c => narrowCols.contains(c) && !joinKeys.contains(c))
+      .filterNot(joinKeys.contains)
+    val strings = allowedP
+      .groupBy(joinKeys.map(col): _*)
+      .agg(min(struct(stringCols.map(col): _*)).as("__row"))
+      .select(joinKeys.map(col) ++ stringCols.map(c => col("__row").getField(c).as(c)): _*)
     val narrow = allowedP.select(narrowCols.map(col): _*)
-    val dedupW = Window.partitionBy(col("url_hash")).orderBy(col("discovered_seq"))
-    val deduped = narrow
-      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1).drop("__rn")
-    val unseen = UrlSeen.antiJoin(deduped, seen, "url_hash", expectedSeen, bloomFpp)
-    val budgeted = Politeness.applyBudgets(unseen, budgets, defaultBudget).persist()
+    val unseen = UrlSeen.antiJoin(narrow, seen, "url_hash", expectedSeen, bloomFpp, scope = scope)
+    val saltExpr = pmod(col("url_hash"), lit(saltFactor))
+    val partitioned = unseen.repartition(numPartitions, col("host"), saltExpr)
+    // first-wins dedup as a lag scan over the shared exchange: rows of one
+    // url_hash are consecutive under (url_hash, discovered_seq) order, the
+    // run's first row is the minimum discovered_seq
+    val dedupW = Window.partitionBy(col("host"), saltExpr)
+      .orderBy(col("url_hash"), col("discovered_seq"))
+    val deduped = partitioned
+      .withColumn("__prev", lag(col("url_hash"), 1).over(dedupW))
+      .filter(col("__prev").isNull || col("__prev") =!= col("url_hash"))
+      .drop("__prev")
+    val budgeted = Politeness.applyBudgets(deduped, budgets, defaultBudget, saltFactor, scope)
     val now = budgeted.filter(col("scheduled_now")).drop("scheduled_now")
     val deferred = budgeted.filter(!col("scheduled_now")).drop("scheduled_now")
     val ordered = withCrawlOrder(
-      now, priorityColNames.map(col), numPartitions)
+      now, priorityColNames.map(col), numPartitions, scope)
     (ordered.join(strings, joinKeys), deferred.join(strings, joinKeys))
   }
 

@@ -55,29 +55,32 @@ object UrlSeen {
       hashCol: String,
       expectedSeen: Long,
       fpp: Double = 0.03,
-      forcePartitioned: Boolean = false): DataFrame = {
+      forcePartitioned: Boolean = false,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
     if (seen.isEmpty) return frontier
     if (forcePartitioned || expectedSeen > PartitionedThreshold)
-      antiJoinPartitioned(frontier, seen, hashCol, expectedSeen, fpp)
-    else antiJoinBroadcast(frontier, seen, hashCol, expectedSeen, fpp)
+      antiJoinPartitioned(frontier, seen, hashCol, expectedSeen, fpp, scope)
+    else antiJoinBroadcast(frontier, seen, hashCol, expectedSeen, fpp, scope)
   }
 
   private def antiJoinBroadcast(
       frontier: DataFrame, seen: DataFrame, hashCol: String,
-      expectedSeen: Long, fpp: Double): DataFrame = {
+      expectedSeen: Long, fpp: Double,
+      scope: graft.util.CacheScope): DataFrame = {
     val spark = frontier.sparkSession
     val bloom = bloomOf(seen, hashCol, expectedSeen, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightBeSeen = udf((h: Long) => bloomBc.value.mightContainLong(h))
     // persisted: the definitely-new and candidate branches both read the
     // frontier — without this its upstream plan executes twice per round
-    val input = frontier.persist()
+    val input = scope.track(frontier.persist())
     val definitelyNew = input.filter(!mightBeSeen(col(hashCol)))
     val candidates = input.filter(mightBeSeen(col(hashCol)))
     val survivors = candidates.join(
       seen.select(col(hashCol)).distinct(), Seq(hashCol), "left_anti")
     definitelyNew.unionByName(survivors)
-    // (callers release the persist via round-end spark.catalog.clearCache())
+    // (callers release the persist via the passed CacheScope, or session-
+    // level cleanup when unmanaged)
   }
 
   /** The scale build: per-bucket blooms folded on executors, frontier
@@ -85,7 +88,8 @@ object UrlSeen {
     * task, never a per-row one), then the exact anti-join on candidates. */
   def antiJoinPartitioned(
       frontier: DataFrame, seen: DataFrame, hashCol: String,
-      expectedSeen: Long, fpp: Double): DataFrame = {
+      expectedSeen: Long, fpp: Double,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{BooleanType, IntegerType}
     val b = bucketCount(expectedSeen)
@@ -115,9 +119,9 @@ object UrlSeen {
           rows.map(r => Row.fromSeq(r.toSeq :+ bloom.mightContainLong(r.getLong(hashIdx))))
       }
     }(Encoders.row(outSchema)).toDF()
-      .persist() // both branches below read it
-    val definitelyNew = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen", "__bucket")
-    val candidates = flagged.filter(col("__maybe_seen")).drop("__maybe_seen", "__bucket")
+    val flaggedP = scope.track(flagged.persist()) // both branches below read it
+    val definitelyNew = flaggedP.filter(!col("__maybe_seen")).drop("__maybe_seen", "__bucket")
+    val candidates = flaggedP.filter(col("__maybe_seen")).drop("__maybe_seen", "__bucket")
     val survivors = candidates.join(
       seen.select(col(hashCol)).distinct(), Seq(hashCol), "left_anti")
     definitelyNew.unionByName(survivors)

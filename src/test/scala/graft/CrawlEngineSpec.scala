@@ -155,6 +155,22 @@ class CrawlEngineSpec extends SparkTestBase {
     }
   }
 
+  test("a round releases only its own caches — an unrelated cached frame survives") {
+    val unrelated = spark.range(1000).toDF("x").persist()
+    assert(unrelated.count() == 1000)
+    val dir = freshDir()
+    val e = new CrawlEngine(spark, dir,
+      numPartitions = 4, defaultBudget = Budget, maxAttempts = MaxAttempts)
+    e.init(Synthetic.frontier(spark, 50, 4).toDF())
+    e.runRound(Synthetic.pages(spark, 50, 4).toDF(),
+      Synthetic.robots(spark).toDF(), Synthetic.budgets(spark, Budget).toDF())
+    // the round's own persists are released at its commit barrier; the
+    // session-level cache it did NOT create must survive (no clearCache)
+    assert(unrelated.storageLevel.useMemory, "unrelated cache was evicted by the round")
+    assert(unrelated.count() == 1000)
+    unrelated.unpersist()
+  }
+
   test("observed round metrics equal recomputed values (A3, zero extra jobs)") {
     val dir = freshDir()
     val e = new CrawlEngine(spark, dir,

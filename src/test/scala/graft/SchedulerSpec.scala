@@ -28,6 +28,48 @@ class SchedulerSpec extends SparkTestBase {
     rows
   }
 
+  test("scheduleRoundNarrow equals the wide formulation; replayed rows never fan out") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.seen.UrlSeen
+    val base = Synthetic.frontier(spark, 400, 4).toDF()
+      .filter(!col("is_processed"))
+    // at-least-once ingest: replay a slice of IDENTICAL rows (ADVICE r02 —
+    // these must not fan out the narrow rejoin into duplicate scheduled rows)
+    val pending = base.unionByName(base.filter(col("discovered_seq") % 7 === 0))
+    val seen = base.filter(col("discovered_seq") % 5 === 0).select("url_hash")
+    val robots = Synthetic.robots(spark).toDF()
+    val budgets = Synthetic.budgets(spark, 30).toDF()
+
+    val (narrowNow, narrowDef) = Scheduler.scheduleRoundNarrow(
+      pending, robots, budgets, seen, expectedSeen = 1000, bloomFpp = 0.03,
+      defaultBudget = 30, numPartitions = 8)
+    // wide straight-line: robots -> dedup window -> exact anti-join -> budget
+    // -> order, all on full rows
+    val allowed = graft.politeness.Politeness.applyRobots(pending, robots)
+    val dedupW = Window.partitionBy(col("url_hash")).orderBy(col("discovered_seq"))
+    val deduped = allowed
+      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1).drop("__rn")
+      .dropDuplicates("url_hash", "discovered_seq") // collapse replayed identical rows
+    val unseen = UrlSeen.exactAntiJoin(deduped, seen, "url_hash")
+    val (wideNow, wideDef) = Scheduler.schedule(unseen, robots, budgets, 30, 8)
+
+    def key(df: org.apache.spark.sql.DataFrame, withOrder: Boolean) = {
+      val cols = (if (withOrder) Seq("crawl_order") else Nil) ++
+        Seq("url_norm", "host", "category", "discovered_seq", "attempt")
+      df.select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    }
+    assert(key(narrowNow, withOrder = true) == key(wideNow, withOrder = true))
+    assert(key(narrowDef, withOrder = false) == key(wideDef, withOrder = false))
+    // dedup + budget phase-1 share ONE full-frontier exchange: the executed
+    // plan has no url_hash-only hashpartitioning (the old dedup shuffle)
+    // (the rejoin's hashpartitioning(url_hash, discovered_seq) is fine; the
+    // single-key url_hash form would be the old dedup shuffle)
+    val plan = narrowNow.queryExecution.executedPlan.toString
+    assert(!"hashpartitioning\\(url_hash#\\d+, \\d+\\)".r.findFirstIn(plan).isDefined,
+      "narrow path re-grew a url_hash-only exchange")
+    spark.catalog.clearCache()
+  }
+
   test("schedule: per-host budget never exceeded, priority respected within host") {
     val f = Synthetic.frontier(spark, 800, 4).toDF()
       .filter(!col("is_processed")).dropDuplicates("url_hash")

@@ -110,7 +110,8 @@ object CrawlOracle {
             val h = Hashing.xxhash64(norm)
             harvested += Entry(e.category, href, norm, h, UrlCanon.hostOf(norm),
               UrlCanon.depthOf(norm), round,
-              i.toLong * 1000 + li + round.toLong * 1000000000L, 0)
+              i.toLong * graft.app.CrawlEngine.LinkSeqMultiplier + li +
+                round.toLong * graft.app.CrawlEngine.RoundSeqBase, 0)
           }
         } else if (e.attempt + 1 < maxAttempts) {
           nextFrontier += e.copy(attempt = e.attempt + 1)
