@@ -117,6 +117,30 @@ object Multimodal {
     df.repartition(numPartitions, xxhash64(col("media_id"))).as[MediaRow]
   }
 
+  /** File-metadata variant for parquet-backed media (the 100 TB path): the
+    * partition count comes from the input FILES' total length — one
+    * driver-side FileStatus pass, O(#files) metadata, no data scan — where
+    * [[sizeScaledPartitions]] would read every payload byte just to pick a
+    * number (VERDICT r02). Compressed size slightly undercounts decoded
+    * payload bytes; for task sizing that bias is a constant factor folded
+    * into targetBytesPerTask. Falls back to the scan-based variant when the
+    * Dataset has no file-based source (e.g. synthetic in-memory media). */
+  def sizeScaledPartitionsFromFiles(
+      media: Dataset[MediaRow],
+      targetBytesPerTask: Long = 64L * 1024 * 1024): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val paths = media.inputFiles
+    if (paths.isEmpty) return sizeScaledPartitions(media, targetBytesPerTask)
+    val totalBytes = paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).getFileStatus(hp).getLen
+    }.sum
+    val numPartitions = math.max(1L, (totalBytes + targetBytesPerTask - 1) / targetBytesPerTask).toInt
+    import media.sparkSession.implicits._
+    media.toDF().repartition(numPartitions, xxhash64(col("media_id"))).as[MediaRow]
+  }
+
   /** Deterministic synthetic media corpus for tests/bench. */
   def syntheticMedia(spark: SparkSession, n: Long, numPartitions: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._

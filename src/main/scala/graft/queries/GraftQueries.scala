@@ -625,6 +625,95 @@ object GraftQueries {
       |JOIN sizes sb ON sb.doc_id = b_id
       |WHERE floor(inter * 1000.0 / (sa.sz + sb.sz - inter)) >= 50""".stripMargin
 
+  /** The COMPLETE training-data dedup pipeline as ONE declarative plan —
+    * the composition a 100 TB corpus actually runs: quality gate (drop junk
+    * first: cheapest filter prunes the most expensive stages) -> exact dedup
+    * (md5 fingerprint, first-wins keeper) -> MinHash-LSH candidate pairs
+    * over the exact keepers only -> connected components -> per-document
+    * verdict (kept / near_dup / exact_dup / low_quality + canonical id).
+    * Every stage is individually oracle-checked elsewhere; this row checks
+    * their composition end-to-end against one DuckDB recursive-CTE replay. */
+  private def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 1500)
+    val tokens = split(col("text"), "\\s+")
+    val stopHits = size(filter(tokens, tk =>
+      Seq("the", "a", "and", "of").map(w => tk === lit(w)).reduce(_ || _))).cast("double")
+    val stopMilli = floor(stopHits / size(tokens).cast("double") * 1000)
+    val qKeep = length(col("text")) >= 100 && stopMilli > 0
+    // persisted: low-quality branch + the kept pipeline both read it
+    val quality = docs.select(col("doc_id"), col("text"),
+      md5(col("text").cast("binary")).as("fp"), qKeep.as("q_keep")).persist()
+    val keptQ = quality.filter(col("q_keep"))
+    val exact = keptQ.withColumn("keeper",
+      min(col("doc_id")).over(Window.partitionBy(col("fp")))).persist()
+    val keepers = exact.filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("text"))
+    val sig = keepers
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val capped = bands
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("__n") <= LshBucketCap).drop("__n").persist()
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")).distinct()
+    val comp = graft.graph.ConnectedComponents.components(keepers.select("doc_id"), pairs)
+    quality.filter(!col("q_keep"))
+      .select(col("doc_id"), lit("low_quality").as("status"), lit(-1L).as("canonical_id"))
+      .unionByName(exact.filter(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"), lit("exact_dup").as("status"), col("keeper").as("canonical_id")))
+      .unionByName(comp.select(col("id").as("doc_id"),
+        when(col("id") === col("component"), lit("kept")).otherwise(lit("near_dup")).as("status"),
+        col("component").as("canonical_id")))
+  }
+
+  private val qDedupPipelineSql = {
+    val mins = (0 until 8).map(i => s"min(md5('${i}_' || token)) AS h$i").mkString(", ")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS key FROM sig")
+      .mkString("\n  UNION ALL ")
+    """WITH RECURSIVE q AS (
+      |  SELECT doc_id, text, md5(text) AS fp,
+      |    (length(text) >= 100 AND floor(len(list_filter(string_split_regex(text, '\s+'), tk -> list_contains(['the','a','and','of'], tk))) * 1000.0 / len(string_split_regex(text, '\s+'))) > 0) AS q_keep
+      |  FROM documents WHERE doc_id < 1500),
+      |ex AS (
+      |  SELECT doc_id, text, fp, min(doc_id) OVER (PARTITION BY fp) AS keeper
+      |  FROM q WHERE q_keep),
+      |keepers AS (SELECT doc_id, text FROM ex WHERE doc_id = keeper),
+      |sig AS (
+      |  SELECT doc_id, """.stripMargin + mins + """
+      |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM keepers)
+      |  GROUP BY doc_id),
+      |bands AS (
+      |  """.stripMargin + bandRows + """),
+      |capped AS (
+      |  SELECT doc_id, band, key FROM bands
+      |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 20),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM keepers
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component FROM reach GROUP BY src)
+      |SELECT doc_id, 'low_quality' AS status, CAST(-1 AS BIGINT) AS canonical_id FROM q WHERE NOT q_keep
+      |UNION ALL
+      |SELECT doc_id, 'exact_dup' AS status, CAST(keeper AS BIGINT) AS canonical_id FROM ex WHERE doc_id <> keeper
+      |UNION ALL
+      |SELECT doc_id, CASE WHEN doc_id = component THEN 'kept' ELSE 'near_dup' END AS status,
+      |  component AS canonical_id
+      |FROM comp""".stripMargin
+  }
+
   /** SimHash (16-bit, md5-nibble-derived so both engines agree exactly;
     * the 64-bit production variant is the same construction over 16 hex
     * chars — see SimHash.scala for the native implementation). */
@@ -1473,6 +1562,7 @@ object GraftQueries {
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_pipeline" -> (qDedupPipeline _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_simhash" -> (qSimhash _),
     "q_ann_topk" -> (qAnnTopK _),
@@ -1521,6 +1611,7 @@ object GraftQueries {
     "q_minhash_sig" -> qMinhashSigSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_pipeline" -> qDedupPipelineSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_simhash" -> qSimhashSql,
     "q_ann_topk" -> qAnnTopKSql,

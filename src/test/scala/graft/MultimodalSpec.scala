@@ -52,6 +52,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(coarser.rdd.getNumPartitions == ((totalBytes + 2 * target - 1) / (2 * target)).toInt)
   }
 
+  test("sizeScaledPartitionsFromFiles sizes from file metadata, no data scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    Multimodal.syntheticMedia(spark, 300, 4).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir).as[Multimodal.MediaRow]
+    val totalFileBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = 64L * 1024
+    val scaled = Multimodal.sizeScaledPartitionsFromFiles(onDisk, target)
+    assert(scaled.rdd.getNumPartitions ==
+      ((totalFileBytes + target - 1) / target).toInt)
+    assert(scaled.count() == 300)
+    // non-file sources fall back to the scan-based sizing
+    val mem = Multimodal.syntheticMedia(spark, 50, 2)
+    assert(Multimodal.sizeScaledPartitionsFromFiles(mem, 100L * 1024).count() == 50)
+  }
+
   test("sizeScaledPartitions on an empty corpus yields one partition, no NPE") {
     val empty = Multimodal.syntheticMedia(spark, 0, 2)
     val scaled = Multimodal.sizeScaledPartitions(empty)
