@@ -112,6 +112,11 @@ final class CrawlEngine(
     seenTable.append(df, "ingest", seenTable.resolveBase(base, "ingest"))
   }
 
+  def ingestDealsAppend(df: DataFrame): Int = {
+    val base = readCheckpoint().map(_.deals).getOrElse(0)
+    dealsFrontierTable.append(df, "ingest", dealsFrontierTable.resolveBase(base, "ingest"))
+  }
+
   private def writeCheckpoint(c: Checkpoint): Unit = {
     val node = mapper.createObjectNode()
     node.put("round", c.round); node.put("frontier", c.frontier); node.put("seen", c.seen)

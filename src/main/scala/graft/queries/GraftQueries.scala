@@ -595,7 +595,7 @@ object GraftQueries {
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sa"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sb"), "b_id")
       .withColumn("jaccard_milli", floor(col("inter") * 1000.0 / (col("sa") + col("sb") - col("inter"))))
-      .filter(col("jaccard_milli") >= 50)
+      .filter(col("jaccard_milli") >= 20)
       .select(col("a_id"), col("b_id"), col("jaccard_milli"))
   }
 
@@ -623,7 +623,7 @@ object GraftQueries {
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = a_id
       |JOIN sizes sb ON sb.doc_id = b_id
-      |WHERE floor(inter * 1000.0 / (sa.sz + sb.sz - inter)) >= 50""".stripMargin
+      |WHERE floor(inter * 1000.0 / (sa.sz + sb.sz - inter)) >= 20""".stripMargin
 
   /** The COMPLETE training-data dedup pipeline as ONE declarative plan —
     * the composition a 100 TB corpus actually runs: quality gate (drop junk
