@@ -894,6 +894,78 @@ object GraftQueries {
       |GROUP BY 1, 2
       |HAVING sum(ex.x * ey.x) >= 300000""".stripMargin
 
+  /** Deterministic random-hyperplane components for the LSH-bucketed ANN
+    * path: plane j, dimension d gets (first md5 nibble of "p{j}_{d}") - 8 ∈
+    * [-8, 7]. Computed once in plain Scala and embedded as constants in BOTH
+    * engines (like LshBucketCap) — no cross-engine hashing needed. */
+  private lazy val annPlanes: Seq[Seq[Long]] = (0 until 8).map { j =>
+    (0 until 8).map { d =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"p${j}_$d".getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString
+      Character.digit(hex.charAt(0), 16).toLong - 8
+    }
+  }
+
+  /** Embedding near-dup via RANDOM-HYPERPLANE LSH buckets — the other scale
+    * path next to the IVF variant (q_embed_neardup): 8 sign bits of exact
+    * integer dot products with fixed hyperplanes -> a 256-bucket key; pairs
+    * compared only within a bucket (cap mirrored, like every LSH join here);
+    * exact quantized inner product above the same threshold. O(n²/256)
+    * expected pair work with zero centroid state — the trade against IVF is
+    * bucket balance vs a training pass. */
+  private def qEmbedNearDupLshBucket(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val withBits = annPlanes.zipWithIndex.foldLeft(emb) { case (df, (p, j)) =>
+      df.withColumn(s"__b$j",
+        when(graft.plans.VecExprs.dot(col("q"), typedlit(p)) >= 0, lit(1L << j))
+          .otherwise(lit(0L)))
+    }
+    val bucketed = withBits
+      .withColumn("bucket", (0 until 8).map(j => col(s"__b$j")).reduce(_ + _))
+      .select(col("vec_id"), col("q"), col("bucket"))
+    val capped = bucketed
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("__n") <= 64).drop("__n")
+      .persist() // both sides of the pair join read it
+    capped.as("x").join(capped.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        graft.plans.VecExprs.dot(col("x.q"), col("y.q")).as("dot"))
+      .filter(col("dot") >= 300000L)
+  }
+
+  private val qEmbedNearDupLshBucketSql = {
+    val planeRows = annPlanes.zipWithIndex.flatMap { case (p, j) =>
+      p.zipWithIndex.map { case (c, d) => s"($j, ${d + 1}, $c)" }
+    }.mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT vec_id,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
+       |    generate_subscripts(embedding, 1) AS pos
+       |  FROM embeddings),
+       |planes(j, pos, comp) AS (VALUES $planeRows),
+       |bits AS (
+       |  SELECT ev.vec_id, p.j,
+       |    CASE WHEN CAST(sum(ev.x * p.comp) AS BIGINT) >= 0
+       |         THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END AS bbit
+       |  FROM ev JOIN planes p ON ev.pos = p.pos
+       |  GROUP BY ev.vec_id, p.j),
+       |buck AS (SELECT vec_id, CAST(sum(bbit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+       |capped AS (
+       |  SELECT vec_id, bucket FROM buck
+       |  QUALIFY count(*) OVER (PARTITION BY bucket) <= 64),
+       |cand AS (
+       |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM capped x JOIN capped y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT a_id, b_id, CAST(sum(ex.x * ey.x) AS BIGINT) AS dot
+       |FROM cand
+       |JOIN ev ex ON ex.vec_id = a_id
+       |JOIN ev ey ON ey.vec_id = b_id AND ex.pos = ey.pos
+       |GROUP BY 1, 2
+       |HAVING sum(ex.x * ey.x) >= 300000""".stripMargin
+  }
+
   /** Multimodal plumbing: binary payload column with typed metadata; the
     * decode step is a deterministic stub (no image libs in sandbox — the
     * Spark-side schema/partitioning/batching is the real part, see
@@ -1568,6 +1640,7 @@ object GraftQueries {
     "q_ann_topk" -> (qAnnTopK _),
     "q_ann_ivf_assign" -> (qAnnIvfAssign _),
     "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_embed_neardup_lsh" -> (qEmbedNearDupLshBucket _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_graphql_pluck" -> (qGraphqlPluck _),
     "q_graphql_product" -> (qGraphqlProduct _),
@@ -1617,6 +1690,7 @@ object GraftQueries {
     "q_ann_topk" -> qAnnTopKSql,
     "q_ann_ivf_assign" -> qAnnIvfAssignSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
+    "q_embed_neardup_lsh" -> qEmbedNearDupLshBucketSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_graphql_pluck" -> qGraphqlPluckSql,
     "q_graphql_product" -> qGraphqlProductSql,
