@@ -33,14 +33,19 @@ object Politeness {
     * codegen'd `aggregate` fold over that array — no window, no exchange of
     * the frontier. (The previous formulation used a per-row window over the
     * whole frontier — a full extra shuffle per round.) */
-  def applyRobots(frontier: DataFrame, robots: DataFrame): DataFrame = {
+  def applyRobots(frontier: DataFrame, robots: DataFrame,
+      broadcastDim: Boolean = true): DataFrame = {
     val rulesByHost = robots
       .groupBy(col("host"))
       .agg(collect_list(struct(col("path_prefix"), col("allow"))).as("__rules"))
     val path = regexp_replace(col("url_norm"), "^[a-z][a-z0-9+.-]*://[^/?]*", "")
+    // broadcastDim = false is the 10^8-host escape hatch: a rules dim too
+    // big to broadcast joins as a shuffle join on host instead (identical
+    // output, PolitenessSpec); the per-row longest-prefix fold is unchanged
+    val dim = if (broadcastDim) broadcast(rulesByHost) else rulesByHost
     val joined = frontier
       .withColumn("__path", path)
-      .join(broadcast(rulesByHost), Seq("host"), "left_outer")
+      .join(dim, Seq("host"), "left_outer")
     // fold: keep the (longest prefix, allow) among matching rules; hosts
     // with no rules (__rules null) propagate null -> default allow
     val best = aggregate(
@@ -86,9 +91,11 @@ object Politeness {
       budgets: DataFrame,
       defaultBudget: Int,
       saltFactor: Int = 16,
-      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged,
+      broadcastDim: Boolean = true): DataFrame = {
+    val dim = if (broadcastDim) broadcast(budgets) else budgets
     val joined = frontier
-      .join(broadcast(budgets), Seq("host"), "left_outer")
+      .join(dim, Seq("host"), "left_outer")
       .withColumn("__budget", coalesce(col("per_round"), lit(defaultBudget)))
     val priority = Seq(col("host_rank"), col("depth"), col("discovered_seq"), col("url_hash"))
     val w1 = Window.partitionBy(col("host"), pmod(col("url_hash"), lit(saltFactor)))

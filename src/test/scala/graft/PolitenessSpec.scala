@@ -30,6 +30,23 @@ class PolitenessSpec extends SparkTestBase {
     val kept = Politeness.applyRobots(frontier, robots)
       .select("discovered_seq").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L, 4L))
+    // the 10^8-host escape hatch (shuffle join instead of broadcast) is
+    // output-identical
+    val keptShuffle = Politeness.applyRobots(frontier, robots, broadcastDim = false)
+      .select("discovered_seq").collect().map(_.getLong(0)).toSet
+    assert(keptShuffle == kept)
+  }
+
+  test("non-broadcast budget dim is output-identical (huge-dim escape hatch)") {
+    import spark.implicits._
+    val frontier = graft.gen.Synthetic.frontier(spark, 300, 4).toDF()
+      .filter(!org.apache.spark.sql.functions.col("is_processed"))
+    val budgets = graft.gen.Synthetic.budgets(spark, 10).toDF()
+    def run(bc: Boolean) = Politeness.applyBudgets(frontier, budgets, 10, broadcastDim = bc)
+      .select("url_hash", "scheduled_now").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    assert(run(true) == run(false))
+    spark.catalog.clearCache()
   }
 
   test("two-phase budget equals single-window budget on a skewed frontier") {
