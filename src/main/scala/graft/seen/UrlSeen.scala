@@ -70,7 +70,9 @@ object UrlSeen {
     val spark = frontier.sparkSession
     val bloom = bloomOf(seen, hashCol, expectedSeen, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightBeSeen = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    // codegen'd membership probe — the ScalaUDF it replaces boxed every
+    // hash and broke whole-stage codegen on the round's hottest filter
+    def mightBeSeen(c: Column): Column = graft.plans.BloomExprs.mightContain(c, bloomBc)
     // persisted: the definitely-new and candidate branches both read the
     // frontier — without this its upstream plan executes twice per round
     val input = scope.track(frontier.persist())
