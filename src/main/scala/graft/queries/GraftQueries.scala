@@ -571,7 +571,8 @@ object GraftQueries {
 
   /** n-gram Jaccard near-dup: token-trigram sets, pairwise Jaccard (milli,
     * floor-quantized) over pairs within the same source partition. */
-  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  private def qNgramJaccard(s: SparkSession, dir: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < 1500)
     // trigrams via the shuffle-free array expression (TextFunctions.shingles)
     // — the earlier posexplode + per-doc window shuffled every token once
@@ -580,11 +581,11 @@ object GraftQueries {
         explode(array_distinct(
           graft.functions.TextFunctions.shingles(split(col("text"), " "), 3))).as("tri"))
     val dfW = Window.partitionBy(col("source"), col("tri"))
-    val tris = trisAll
+    val tris = scope.track(trisAll
       .withColumn("__df", count(lit(1)).over(dfW))
       .filter(col("__df") <= ShingleDfCap)
       .drop("__df")
-      .persist() // sizes + both sides of the pair join read it
+      .persist()) // sizes + both sides of the pair join read it
     val sizes = tris.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = tris.as("x").join(tris.as("y"),
         col("x.tri") === col("y.tri") && col("x.source") === col("y.source") &&
@@ -633,7 +634,8 @@ object GraftQueries {
     * verdict (kept / near_dup / exact_dup / low_quality + canonical id).
     * Every stage is individually oracle-checked elsewhere; this row checks
     * their composition end-to-end against one DuckDB recursive-CTE replay. */
-  private def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+  private def qDedupPipeline(s: SparkSession, dir: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < 1500)
     val tokens = split(col("text"), "\\s+")
     val stopHits = size(filter(tokens, tk =>
@@ -641,11 +643,11 @@ object GraftQueries {
     val stopMilli = floor(stopHits / size(tokens).cast("double") * 1000)
     val qKeep = length(col("text")) >= 100 && stopMilli > 0
     // persisted: low-quality branch + the kept pipeline both read it
-    val quality = docs.select(col("doc_id"), col("text"),
-      md5(col("text").cast("binary")).as("fp"), qKeep.as("q_keep")).persist()
+    val quality = scope.track(docs.select(col("doc_id"), col("text"),
+      md5(col("text").cast("binary")).as("fp"), qKeep.as("q_keep")).persist())
     val keptQ = quality.filter(col("q_keep"))
-    val exact = keptQ.withColumn("keeper",
-      min(col("doc_id")).over(Window.partitionBy(col("fp")))).persist()
+    val exact = scope.track(keptQ.withColumn("keeper",
+      min(col("doc_id")).over(Window.partitionBy(col("fp")))).persist())
     val keepers = exact.filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("text"))
     val sig = keepers
@@ -655,9 +657,9 @@ object GraftQueries {
       (0 until 4).map(b => struct(lit(b).as("band"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val capped = bands
+    val capped = scope.track(bands
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-      .filter(col("__n") <= LshBucketCap).drop("__n").persist()
+      .filter(col("__n") <= LshBucketCap).drop("__n").persist())
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -894,40 +896,63 @@ object GraftQueries {
       |GROUP BY 1, 2
       |HAVING sum(ex.x * ey.x) >= 300000""".stripMargin
 
-  /** Deterministic random-hyperplane components for the LSH-bucketed ANN
+  /** Deterministic random-hyperplane component for the LSH-bucketed ANN
     * path: plane j, dimension d gets (first md5 nibble of "p{j}_{d}") - 8 ∈
     * [-8, 7]. Computed once in plain Scala and embedded as constants in BOTH
     * engines (like LshBucketCap) — no cross-engine hashing needed. */
-  private lazy val annPlanes: Seq[Seq[Long]] = (0 until 8).map { j =>
-    (0 until 8).map { d =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"p${j}_$d".getBytes("UTF-8"))
-        .map(b => f"${b & 0xFF}%02x").mkString
-      Character.digit(hex.charAt(0), 16).toLong - 8
-    }
+  def annPlaneComp(j: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"p${j}_$d".getBytes("UTF-8"))
+      .map(b => f"${b & 0xFF}%02x").mkString
+    Character.digit(hex.charAt(0), 16).toLong - 8
+  }
+
+  def annPlanesFor(planes: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until planes).map(j => (0 until dim).map(d => annPlaneComp(j, d)))
+
+  /** Plane-count SCALES WITH THE CORPUS: smallest p >= MinPlanes with
+    * targetBucket * 2^p >= n (so expected bucket population stays ~constant
+    * as the corpus grows), capped at MaxPlanes (bucket key must fit a
+    * BIGINT; 40 planes covers n up to 32*2^40 ≈ 3.5e13 vectors). Integer
+    * shifts only — a float log2 could round a power-of-two boundary
+    * differently across engines. A FIXED plane count is the scale killer the
+    * r03 verdict flagged: at n >> buckets*cap every bucket busts the cap and
+    * recall silently collapses. */
+  val AnnMinPlanes = 8
+  val AnnMaxPlanes = 40
+  val AnnTargetBucket = 32L
+  def annPlaneCount(n: Long): Int = {
+    var p = AnnMinPlanes
+    while (p < AnnMaxPlanes && (AnnTargetBucket << p) < n) p += 1
+    p
   }
 
   /** Embedding near-dup via RANDOM-HYPERPLANE LSH buckets — the other scale
-    * path next to the IVF variant (q_embed_neardup): 8 sign bits of exact
-    * integer dot products with fixed hyperplanes -> a 256-bucket key; pairs
-    * compared only within a bucket (cap mirrored, like every LSH join here);
-    * exact quantized inner product above the same threshold. O(n²/256)
-    * expected pair work with zero centroid state — the trade against IVF is
-    * bucket balance vs a training pass. */
-  private def qEmbedNearDupLshBucket(s: SparkSession, dir: String): DataFrame = {
+    * path next to the IVF variant (q_embed_neardup): P sign bits of exact
+    * integer dot products with fixed hyperplanes -> a 2^P-bucket key, where
+    * P grows with the corpus (annPlaneCount) so expected bucket population
+    * stays ~AnnTargetBucket; pairs compared only within a bucket (cap
+    * mirrored, like every LSH join here); exact quantized inner product
+    * above the same threshold. O(n * targetBucket) expected pair work with
+    * zero centroid state — the trade against IVF is bucket balance vs a
+    * training pass. */
+  private def qEmbedNearDupLshBucket(s: SparkSession, dir: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    val n = t(s, dir, "embeddings").count() // parquet metadata count
+    val planes = annPlanesFor(annPlaneCount(n), dim = 8)
     val emb = t(s, dir, "embeddings").select(col("vec_id"), quantized(col("embedding")).as("q"))
-    val withBits = annPlanes.zipWithIndex.foldLeft(emb) { case (df, (p, j)) =>
+    val withBits = planes.zipWithIndex.foldLeft(emb) { case (df, (p, j)) =>
       df.withColumn(s"__b$j",
         when(graft.plans.VecExprs.dot(col("q"), typedlit(p)) >= 0, lit(1L << j))
           .otherwise(lit(0L)))
     }
     val bucketed = withBits
-      .withColumn("bucket", (0 until 8).map(j => col(s"__b$j")).reduce(_ + _))
+      .withColumn("bucket", planes.indices.map(j => col(s"__b$j")).reduce(_ + _))
       .select(col("vec_id"), col("q"), col("bucket"))
-    val capped = bucketed
+    val capped = scope.track(bucketed
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("__n") <= 64).drop("__n")
-      .persist() // both sides of the pair join read it
+      .persist()) // both sides of the pair join read it
     capped.as("x").join(capped.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
@@ -936,20 +961,27 @@ object GraftQueries {
   }
 
   private val qEmbedNearDupLshBucketSql = {
-    val planeRows = annPlanes.zipWithIndex.flatMap { case (p, j) =>
-      p.zipWithIndex.map { case (c, d) => s"($j, ${d + 1}, $c)" }
+    // all MaxPlanes plane rows embedded; the query selects j < p where p is
+    // computed from count(*) by the same integer-shift rule as annPlaneCount
+    val planeRows = (0 until AnnMaxPlanes).flatMap { j =>
+      (0 until 8).map(d => s"($j, ${d + 1}, ${annPlaneComp(j, d)})")
     }.mkString(", ")
     s"""WITH ev AS (
        |  SELECT vec_id,
        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
        |    generate_subscripts(embedding, 1) AS pos
        |  FROM embeddings),
+       |pcnt AS (
+       |  SELECT coalesce(min(CAST(t.j AS INT)), $AnnMaxPlanes) AS p
+       |  FROM range($AnnMinPlanes, ${AnnMaxPlanes + 1}) t(j)
+       |  WHERE (CAST($AnnTargetBucket AS BIGINT) << t.j) >= (SELECT count(*) FROM embeddings)),
        |planes(j, pos, comp) AS (VALUES $planeRows),
        |bits AS (
        |  SELECT ev.vec_id, p.j,
        |    CASE WHEN CAST(sum(ev.x * p.comp) AS BIGINT) >= 0
        |         THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END AS bbit
        |  FROM ev JOIN planes p ON ev.pos = p.pos
+       |  WHERE p.j < (SELECT p FROM pcnt)
        |  GROUP BY ev.vec_id, p.j),
        |buck AS (SELECT vec_id, CAST(sum(bbit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
        |capped AS (
@@ -1414,11 +1446,37 @@ object GraftQueries {
   // ======================================================================
 
   /** Full RFC-3986 canonicalization UDF over messy urls. */
+  /** FULL RFC-3986 canonicalizer over a messy family that exercises every
+    * rule the light subset can't: percent-decode of unreserved escapes
+    * (%41 -> A), hex-uppercasing of reserved escapes (%2f -> %2F),
+    * dot-segment removal (/./sub/../ collapses), trailing-dot host strip,
+    * default-port strip, fragment drop, query percent-normalize (+sort:
+    * z%61=3 -> za=3, sorted between a=1 and b=2... after b — ASCII 'z'>'b').
+    * Each rule's outcome on THIS family is a closed-form string, so the
+    * DuckDB oracle states the expected canonical directly (the
+    * q_url_canon_light / q_crawl_schedule playbook). */
+  private def messyUrlFull: Column =
+    concat(
+      lit("https://Shop"), (col("doc_id") % 7).cast("string"),
+      lit(".Example.COM.:443/en/%41item-"), col("doc_id").cast("string"),
+      lit("/./sub/../p%2fx/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0, lit("#frag"))
+        .when(col("doc_id") % 3 === 1, lit("?b=2&z%61=3&a=1"))
+        .otherwise(lit("")))
+
   private def qUrlCanonFull(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("url", messyUrl)
+      .withColumn("url", messyUrlFull)
       .withColumn("__cp", graft.plans.UrlCanonPartsExpr.canonParts(col("url")))
       .select(col("doc_id"), col("__cp.url_norm").as("url_canon"), col("__cp.host").as("host"))
+
+  private val qUrlCanonFullSql =
+    """SELECT doc_id,
+      |  'https://shop' || (doc_id % 7) || '.example.com/en/Aitem-' || doc_id ||
+      |    '/p%2Fx/' || doc_id ||
+      |    CASE WHEN doc_id % 3 = 1 THEN '?a=1&b=2&za=3' ELSE '' END AS url_canon,
+      |  'shop' || (doc_id % 7) || '.example.com' AS host
+      |FROM documents""".stripMargin
 
   /** HTML extraction kernel + EN⋈AR pivot + 34-col Product projection over
     * a deterministic synthetic pages corpus (P1-P23, J1). */
@@ -1464,25 +1522,26 @@ object GraftQueries {
     * degenerate buckets (the low-vocabulary corpus collides heavily, as real
     * boilerplate does) are dropped by the per-bucket cap instead of capping
     * the corpus — the shape that survives 100 TB. */
-  private def qMinhashLshNative(s: SparkSession, dir: String): DataFrame = {
+  private def qMinhashLshNative(s: SparkSession, dir: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
     import graft.functions.TextFunctions._
     // persisted at BOTH boundaries: (1) the signature — project-collapse
     // would otherwise inline the (interpreted higher-order) minhash fold
     // into each of the 4 band slices, quadrupling the real work; (2) the
     // capped bands — the self-join reads them twice
-    val sig = t(s, dir, "documents")
+    val sig = scope.track(t(s, dir, "documents")
       .select(col("doc_id"),
         graft.plans.MinHashShingledExpr.minhashShingled(wsTokens(col("text")), 16, 3).as("sig"))
-      .persist()
+      .persist())
     val bands = sig
       .select(col("doc_id"), explode(lshBands(col("sig"), 4)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
     val bucketW = Window.partitionBy(col("band"), col("key"))
-    val capped = bands
+    val capped = scope.track(bands
       .withColumn("__bucket_n", count(lit(1)).over(bucketW))
       .filter(col("__bucket_n") <= LshBucketCap)
       .drop("__bucket_n")
-      .persist()
+      .persist())
     capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1607,6 +1666,17 @@ object GraftQueries {
 
   // ======================================================================
 
+  /** The catalog entries that persist() internally, with the scope exposed:
+    * a long-lived session runs these via `scoped`, materializes the result,
+    * then releases EXACTLY the frames this query cached with
+    * `scope.unpersistAll()` — the plain `all` entries leave release to the
+    * harness's clearCache() (Bench/Verify do it per query). */
+  val scoped: Map[String, (SparkSession, String, graft.util.CacheScope) => DataFrame] = Map(
+    "q_ngram_jaccard" -> ((s: SparkSession, d: String, sc: graft.util.CacheScope) => qNgramJaccard(s, d, sc)),
+    "q_dedup_pipeline" -> ((s: SparkSession, d: String, sc: graft.util.CacheScope) => qDedupPipeline(s, d, sc)),
+    "q_embed_neardup_lsh" -> ((s: SparkSession, d: String, sc: graft.util.CacheScope) => qEmbedNearDupLshBucket(s, d, sc)),
+    "q_minhash_lsh_native" -> ((s: SparkSession, d: String, sc: graft.util.CacheScope) => qMinhashLshNative(s, d, sc)))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_frontier_pending" -> (qFrontierPending _),
     "q_lang_rewrite" -> (qLangRewrite _),
@@ -1634,13 +1704,13 @@ object GraftQueries {
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_dedup_clusters" -> (qDedupClusters _),
-    "q_dedup_pipeline" -> (qDedupPipeline _),
-    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_dedup_pipeline" -> ((s: SparkSession, d: String) => qDedupPipeline(s, d)),
+    "q_ngram_jaccard" -> ((s: SparkSession, d: String) => qNgramJaccard(s, d)),
     "q_simhash" -> (qSimhash _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_ann_ivf_assign" -> (qAnnIvfAssign _),
     "q_embed_neardup" -> (qEmbedNearDup _),
-    "q_embed_neardup_lsh" -> (qEmbedNearDupLshBucket _),
+    "q_embed_neardup_lsh" -> ((s: SparkSession, d: String) => qEmbedNearDupLshBucket(s, d)),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_graphql_pluck" -> (qGraphqlPluck _),
     "q_graphql_product" -> (qGraphqlProduct _),
@@ -1654,7 +1724,7 @@ object GraftQueries {
     "q_extract_metro" -> (qExtractMetro _),
     "q_crawl_schedule" -> (qCrawlSchedule _),
     "q_simhash64_native" -> (qSimhash64Native _),
-    "q_minhash_lsh_native" -> (qMinhashLshNative _),
+    "q_minhash_lsh_native" -> ((s: SparkSession, d: String) => qMinhashLshNative(s, d)),
     "q_multimodal_decode" -> (qMultimodalDecode _))
 
   val oracles: Map[String, String] = Map(
@@ -1662,6 +1732,7 @@ object GraftQueries {
     "q_lang_rewrite" -> qLangRewriteSql,
     "q_category_canon" -> qCategoryCanonSql,
     "q_url_canon_light" -> qUrlCanonLightSql,
+    "q_url_canon_full" -> qUrlCanonFullSql,
     "q_absolutize" -> qAbsolutizeSql,
     "q_json_pluck" -> qJsonPluckSql,
     "q_seen_antijoin" -> qSeenAntiJoinSql,

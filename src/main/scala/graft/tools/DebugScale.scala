@@ -38,6 +38,15 @@ object DebugScale {
       case Nil => Seq((2, 64), (8, 64), (32, 64))
       case xs => xs.map { a => val Array(c, p) = a.split(":"); (c.toInt, p.toInt) }
     }
+    // seen-table parquets (untimed prep, like Bench main's)
+    locally {
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "localhost").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      try { graft.Bench.ensureSeen(s, frontierPath); graft.Bench.ensureSeen(s, warmupPath) }
+      finally { s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession() }
+    }
     for ((cpus, sp) <- configs) {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       val spark = SparkSession.builder().master(s"local[$cpus]")

@@ -70,4 +70,19 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(got.values.toSet == Set(0L))
     spark.catalog.clearCache()
   }
+
+  test("1000-node path graph (diameter 999) converges well under the cap — " +
+    "pointer halving makes rounds O(log diameter)") {
+    import spark.implicits._
+    // a >25-long near-dup chain (drifting boilerplate) used to exhaust
+    // maxIters and kill the run (VERDICT r03 #6); halving covers 2^k hops in
+    // k rounds, so diameter 999 needs ~11 rounds + 1 to observe stability
+    val n = 1000L
+    val nodes = (0L until n).toDF("doc_id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.components(nodes, edges, maxIters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 1000 && got.values.toSet == Set(0L))
+    spark.catalog.clearCache()
+  }
 }
