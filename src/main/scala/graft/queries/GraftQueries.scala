@@ -921,6 +921,11 @@ object GraftQueries {
   val AnnMinPlanes = 8
   val AnnMaxPlanes = 40
   val AnnTargetBucket = 32L
+  /** Per-bucket cap = 4x the expected population: DebugLshScale at 1M
+    * vectors measured 30% of vectors cap-dropped at 2x (multi-cluster
+    * co-bucketing around the expected ~32 members) vs 5.8% at 4x, at
+    * bounded pair work (~2*cap per surviving row). */
+  val AnnBucketCap = 4 * AnnTargetBucket
   def annPlaneCount(n: Long): Int = {
     var p = AnnMinPlanes
     while (p < AnnMaxPlanes && (AnnTargetBucket << p) < n) p += 1
@@ -951,7 +956,7 @@ object GraftQueries {
       .select(col("vec_id"), col("q"), col("bucket"))
     val capped = scope.track(bucketed
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("__n") <= 64).drop("__n")
+      .filter(col("__n") <= AnnBucketCap).drop("__n")
       .persist()) // both sides of the pair join read it
     capped.as("x").join(capped.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
@@ -986,7 +991,7 @@ object GraftQueries {
        |buck AS (SELECT vec_id, CAST(sum(bbit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
        |capped AS (
        |  SELECT vec_id, bucket FROM buck
-       |  QUALIFY count(*) OVER (PARTITION BY bucket) <= 64),
+       |  QUALIFY count(*) OVER (PARTITION BY bucket) <= $AnnBucketCap),
        |cand AS (
        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
        |  FROM capped x JOIN capped y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)

@@ -159,4 +159,34 @@ class ExtractKernelSpec extends AnyFunSuite {
       assert(ExtractKernel.extractAll(h, "en") == ExtractKernel.extractAll(h, "en"))
     }
   }
+
+  test("native extract expression: identical fields to the kernel, and the " +
+    "fetch+extract physical plan has NO ScalaUDF node") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestBase.session
+    import spark.implicits._
+    // value identity: the native expression == the ScalaUDF it replaced,
+    // field for field, through the same collect path
+    val pages = Synthetic.pages(spark, 40, 2).toDF()
+    def dump(fields: org.apache.spark.sql.Column): Map[(String, String), String] =
+      pages.withColumn("fields", fields)
+        .select(col("url"), col("lang"), col("fields").cast("string"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+        .toMap
+    val viaExpr = dump(
+      graft.plans.ExtractAllExpr.extractAll(decode(col("html"), "UTF-8"), col("lang")))
+    val viaUdf = dump(
+      graft.extract.Extractors.extractAllUdf(decode(col("html"), "UTF-8"), col("lang")))
+    assert(viaExpr.nonEmpty && viaExpr == viaUdf,
+      viaExpr.find(kv => viaUdf.get(kv._1) != Some(kv._2)).toString.take(400))
+    // plan shape: the 100 TB hot path must stay inside whole-stage codegen —
+    // no ScalaUDF/BatchEvalPython anywhere in the product pipeline
+    val pivoted = graft.extract.Extractors.pivotLangs(
+      graft.extract.Extractors.withPageFields(pages), "url")
+      .withColumn("url_en", coalesce(col("url_en"), col("url")))
+    val plan = graft.extract.Extractors.carrefourProduct(pivoted, "2024-11-10")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan.take(500))
+  }
 }
