@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B: the fetch+extract probe with the native ExtractAllExpr vs the
+  * ScalaUDF it replaced, interleaved min-of-rounds at local[32] — isolates
+  * whether an extract-throughput delta is the expression or the host. */
+object DebugExtractAB {
+  def main(args: Array[String]): Unit = {
+    val rounds = args.headOption.map(_.toInt).getOrElse(3)
+    val pagesPath = "/tmp/graft_bench/pages"
+    def session(): SparkSession = {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val s = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", 64)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "localhost").getOrCreate()
+      s.sparkContext.setLogLevel("WARN"); s
+    }
+
+    def run(useExpr: Boolean): Double = {
+      val spark = session()
+      try {
+        val pages = spark.read.parquet(pagesPath)
+          .withColumn("url_norm",
+            graft.plans.UrlCanonExpr.canon(regexp_replace(col("url"), "/ar/", "/en/")))
+        val fields =
+          if (useExpr)
+            graft.plans.ExtractAllExpr.extractAll(decode(col("html"), "UTF-8"), col("lang"))
+          else
+            graft.extract.Extractors.extractAllUdf(decode(col("html"), "UTF-8"), col("lang"))
+        val withFields = pages.withColumn("fields", fields)
+        val pivoted = graft.extract.Extractors.pivotLangs(withFields, "url_norm")
+          .withColumn("url_en", coalesce(col("url_en"), col("url_norm")))
+        val products = graft.extract.Extractors.carrefourProduct(pivoted, "2024-11-10")
+        // warmup
+        products.select(count(lit(1))).head
+        val t0 = System.nanoTime()
+        products.select(count(lit(1)).as("n"),
+          sum(length(col("name_en")) + length(col("name_ar"))).as("chk")).head
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.stop()
+    }
+
+    var minE = Double.MaxValue; var minU = Double.MaxValue
+    for (r <- 1 to rounds) {
+      val e = run(useExpr = true); minE = math.min(minE, e)
+      val u = run(useExpr = false); minU = math.min(minU, u)
+      println(f"ROUND $r expr=$e%.2fs udf=$u%.2fs")
+    }
+    println(f"RESULT expr_min=$minE%.2fs udf_min=$minU%.2fs ratio_udf_over_expr=${minU / minE}%.2f")
+  }
+}

@@ -9,7 +9,14 @@ import org.apache.spark.sql.SparkSession
   * combos, run IN ORDER (interleave levels across repeats yourself). */
 object DebugScale {
   def main(args: Array[String]): Unit = {
-    val (kvArgs, comboArgs) = args.partition(a => a.startsWith("path=") || a.startsWith("gen="))
+    val (kvArgs, comboArgs) = args.partition(a =>
+      a.startsWith("path=") || a.startsWith("gen=") || a.startsWith("maxpart="))
+    // input split sizing: at 64M+ rows the 64-file gen layout yields ~1M-row
+    // input partitions whose partial-aggregation maps exhaust execution
+    // memory and force storage eviction — size splits DOWN as input grows
+    // (the spark.sql.files.maxPartitionBytes guidance in BASELINE.md)
+    val maxPart = kvArgs.find(_.startsWith("maxpart=")).map(_.stripPrefix("maxpart="))
+      .getOrElse("128m")
     val frontierPath = kvArgs.find(_.startsWith("path=")).map(_.stripPrefix("path="))
       .getOrElse("/tmp/graft_bench/frontier")
     val warmupPath = "/tmp/graft_bench/frontier_warmup"
@@ -52,6 +59,7 @@ object DebugScale {
       val spark = SparkSession.builder().master(s"local[$cpus]")
         .appName(s"dbg-$cpus-$sp")
         .config("spark.sql.shuffle.partitions", sp)
+        .config("spark.sql.files.maxPartitionBytes", maxPart)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "localhost")
         .getOrCreate()
