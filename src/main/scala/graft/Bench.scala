@@ -47,12 +47,21 @@ object Bench {
     * processed rows, written once at prep (the engine maintains its seen
     * table incrementally at commit) — scheduleRound reads it instead of
     * re-canonicalizing the processed subset every round. */
-  def ensureSeen(s: SparkSession, path: String): Unit =
-    if (!new java.io.File(s"${path}_seen/_SUCCESS").exists())
+  def ensureSeen(s: SparkSession, path: String): Unit = {
+    // STALENESS guard (ADVICE r04): the sidecar is only valid for the
+    // frontier it was derived from — if the frontier parquet was
+    // (re)generated after the sidecar was written (size env change, partial
+    // /tmp cleanup), rebuild instead of silently reusing stale hashes
+    val seenSuccess = new java.io.File(s"${path}_seen/_SUCCESS")
+    val frontierSuccess = new java.io.File(s"$path/_SUCCESS")
+    val stale = seenSuccess.exists() && frontierSuccess.exists() &&
+      frontierSuccess.lastModified() > seenSuccess.lastModified()
+    if (!seenSuccess.exists() || stale)
       s.read.parquet(path).filter(col("is_processed"))
         .withColumn("url_hash", xxhash64(graft.plans.UrlCanonExpr.canon(col("url"))))
         .select("url_hash")
         .write.mode("overwrite").parquet(s"${path}_seen")
+  }
 
   /** One full scheduling round over a raw frontier parquet; returns the
     * scheduled count (forces execution).
@@ -205,6 +214,28 @@ object Bench {
       val (d4, m4) = timeOnce(c, "sched4m")(s => scheduleRound(s, frontier4Path, c))
       tSched4(c) = math.min(tSched4(c), d4); nSched4 = m4
     }
+    // ---- cluster-relevant PLAN metric: shuffle bytes per scheduled URL ----
+    // What a real network pays per round. Plan-deterministic (no
+    // min-of-rounds needed — bytes written are a function of the plan, not
+    // the host), measured on one un-timed instrumented 1M round so the
+    // number is regression-tracked in every BENCH_r*.json instead of
+    // re-derived ad hoc (VERDICT r04 #7 / DebugShuffleBytes).
+    val (shufBytes, shufScheduled) = {
+      val s = session(32)
+      try {
+        val bytes = new java.util.concurrent.atomic.AtomicLong()
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              bytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+        val n = scheduleRound(s, frontierPath, 32)
+        Thread.sleep(1000) // let straggling listener events drain
+        (bytes.get(), n)
+      } finally s.stop()
+    }
+    val shufPerUrl = shufBytes.toDouble / math.max(shufScheduled, 1)
+
     val thrS = cores.map(c => c -> frontierN / tSched(c)).toMap
     val thrE = cores.map(c => c -> nExtr / tExtr(c)).toMap
     val effS28 = thrS(8) / (4.0 * thrS(2))
@@ -257,7 +288,8 @@ object Bench {
         s""""crawl_bench":{"frontier_urls":$frontierN,"scheduled":$nSched,""" +
         cores.map(c => s""""sched_sec_local$c":${f"${tSched(c)}%.2f"}""").mkString(",") + "," +
         cores.map(c => s""""sched_urls_per_sec_local$c":${f"${thrS(c)}%.0f"}""").mkString(",") + "," +
-        s""""sched_scaling_eff_2_to_8":${f"$effS28%.3f"},"sched_scaling_eff_8_to_32":${f"$effS%.3f"}},""" +
+        s""""sched_scaling_eff_2_to_8":${f"$effS28%.3f"},"sched_scaling_eff_8_to_32":${f"$effS%.3f"},""" +
+        s""""sched_shuffle_bytes":$shufBytes,"shuffle_bytes_per_scheduled_url":${f"$shufPerUrl%.1f"}},""" +
         s""""crawl_bench_4m":{"frontier_urls":$frontier4N,"scheduled":$nSched4,""" +
         cores.map(c => s""""sched_sec_local$c":${f"${tSched4(c)}%.2f"}""").mkString(",") + "," +
         cores.map(c => s""""sched_urls_per_sec_local$c":${f"${frontier4N / tSched4(c)}%.0f"}""").mkString(",") + "," +

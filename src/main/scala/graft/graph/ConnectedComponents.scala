@@ -26,6 +26,20 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Labels with frequency above this are resolved through a BROADCAST map
+    * in the pointer-halving step instead of the shuffle join: a web-scale
+    * near-dup graph concentrates into a few giant components (boilerplate
+    * clusters), and hashing every row of a giant component to the single
+    * reducer that owns its label serializes the cluster through one task
+    * (VERDICT r04 #1 — the upstream LSH per-bucket cap bounds EDGE count
+    * and node degree, not component size: chains of capped buckets still
+    * merge). Hot labels are few by definition (≤ |V|/threshold mapping
+    * rows — at 10^10 nodes and the default threshold, ≤ ~153k rows
+    * broadcast), so the skewed rows never shuffle at all; cold labels keep
+    * the plain join, whose per-reducer load is bounded by
+    * threshold × (labels per reducer). */
+  val HotLabelThreshold: Long = 1L << 16
+
   /** Label every node of the undirected edge set (a, b) with the minimum
     * node id in its connected component. `nodes`: single-column id frame
     * (isolated nodes keep their own id). Returns (id, component).
@@ -39,8 +53,18 @@ object ConnectedComponents {
     * chain — drifting boilerplate produces exactly that — killed the whole
     * pipeline run (VERDICT r03 #6); with it, maxIters=25 covers diameters
     * past 2^24. Verified on a 1000-node path graph (diameter 999, ~11
-    * rounds) in ConnectedComponentsSpec. */
-  def components(nodes: DataFrame, edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    * rounds) in ConnectedComponentsSpec.
+    *
+    * Skew: the edge-propagate join keys on edge endpoints, whose
+    * multiplicity is node DEGREE — bounded upstream by the LSH per-bucket
+    * caps (≤ cap·bands edges per node), so it needs no special handling.
+    * The halving join keys on the label itself, whose multiplicity is
+    * COMPONENT SIZE — unbounded — so labels hotter than `hotThreshold` are
+    * split out and resolved via a broadcast map (see HotLabelThreshold);
+    * exactness of the split path is ConnectedComponentsSpec's giant-star
+    * cases, which force it with a tiny threshold. */
+  def components(nodes: DataFrame, edges: DataFrame, maxIters: Int = 25,
+      hotThreshold: Long = HotLabelThreshold): DataFrame = {
     val idCol = nodes.columns.head
     val sym = edges.toDF("src", "dst")
       .unionByName(edges.toDF("dst", "src").select(col("src"), col("dst")))
@@ -83,11 +107,34 @@ object ConnectedComponents {
       // of length d converges in O(log d) rounds instead of d (the r03
       // min-propagation needed diameter(G) rounds and threw past the cap on
       // long near-dup chains, VERDICT r03 #6).
-      val next = folded.as("a")
-        .join(folded.select(col("id").as("__cid"), col("component").as("__ccomp")).as("b"),
-          col("a.component") === col("__cid"), "left")
-        .select(col("a.id").as("id"),
-          coalesce(col("__ccomp"), col("a.component")).as("component"))
+      //
+      // The join keys the LEFT side on `component`, whose multiplicity is
+      // component size — a giant component would hash all its rows to one
+      // reducer. Labels above hotThreshold are therefore resolved through a
+      // broadcast map instead (their rows never shuffle); the frequency
+      // count itself is a map-side-combinable aggregate over the
+      // checkpointed `folded`, so it is skew-free by construction. The
+      // three references to `hotLabels` below collapse into one reused
+      // broadcast exchange (same plan → ReuseExchange).
+      val hotLabels = folded.groupBy(col("component")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > hotThreshold)
+        .select(col("component").as("__hot"))
+      // lookup rows for hot labels only: label(hotLabel) — ≤ one row per hot
+      // label, tiny by definition
+      val hotMap = folded.join(broadcast(hotLabels), col("id") === col("__hot"))
+        .select(col("id").as("__cid"), col("component").as("__ccomp"))
+      val lookup = folded.select(col("id").as("__cid"), col("component").as("__ccomp"))
+      val hotRows = folded.join(broadcast(hotLabels),
+        col("component") === col("__hot"), "left_semi")
+      val coldRows = folded.join(broadcast(hotLabels),
+        col("component") === col("__hot"), "left_anti")
+      def halve(rows: DataFrame, map: DataFrame, bcast: Boolean): DataFrame =
+        rows.as("a")
+          .join(if (bcast) broadcast(map) else map, col("a.component") === col("__cid"), "left")
+          .select(col("a.id").as("id"),
+            coalesce(col("__ccomp"), col("a.component")).as("component"))
+      val next = halve(hotRows, hotMap, bcast = true)
+        .unionByName(halve(coldRows, lookup, bcast = false))
         .observe(obs, expr("bit_xor(xxhash64(id, component))").as("label_fp"))
         .localCheckpoint(true)
       val fp = Option(obs.get("label_fp")).map(_.asInstanceOf[Long])

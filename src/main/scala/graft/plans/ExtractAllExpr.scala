@@ -14,9 +14,22 @@ import graft.extract.ExtractKernel
 
 /** Codegen helper: the single static entry point generated Java calls. */
 object ExtractAllHelper {
-  def eval(html: UTF8String, lang: UTF8String): InternalRow = {
+  def eval(html: UTF8String, lang: UTF8String): InternalRow =
+    build(if (html == null) null else html.toString, lang)
+
+  /** BINARY-html entry: pages store html as bytes (input_hint schema), and
+    * routing them through a `decode` column op costs two extra full-body
+    * copies before the parse (StringDecode materializes a java String AND
+    * re-wraps it as UTF8String; the helper then unwraps it again). One
+    * UTF-8 decode directly from the stored bytes is the minimum possible —
+    * the kernel parses java Strings (JIT-friendly charAt loops). */
+  def evalBytes(html: Array[Byte], lang: UTF8String): InternalRow =
+    build(if (html == null) null else new String(html, java.nio.charset.StandardCharsets.UTF_8),
+      lang)
+
+  private def build(html: String, lang: UTF8String): InternalRow = {
     val f = ExtractKernel.extractAll(
-      if (html == null) null else html.toString,
+      html,
       if (lang == null) null else lang.toString)
     def s(x: String): AnyRef = if (x == null) null else UTF8String.fromString(x)
     def arr(xs: Seq[String]): GenericArrayData = new GenericArrayData(xs.map(s).toArray[Any])
@@ -42,24 +55,47 @@ object ExtractAllHelper {
   * ExtractKernel.extractAll), a null lang selects the EN sentinel — so the
   * result is never null. Byte-identity vs the reference is ExtractKernelSpec;
   * plan shape is asserted in SchedulerSpec/ExplainPlans §fetch+extract. */
-case class ExtractAllExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class ExtractAllExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
 
+  // analysis-time type check: a wrongly-typed child fails with a clear
+  // analysis error instead of a Janino compile error / ClassCastException
+  // at runtime (ADVICE r04; AbstractDataType is private[sql] in Spark 4 so
+  // this overrides checkInputDataTypes directly rather than mixing in
+  // ExpectsInputTypes). html accepts BINARY (the stored page-body type —
+  // decoded once, directly) or STRING (pre-decoded columns / SQL surface).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if ((left.dataType == StringType || left.dataType == BinaryType) &&
+        right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"extract_all expects (string|binary, string) inputs, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = ExtractAllExpr.schema
   override def nullable: Boolean = false
 
+  private def binaryHtml: Boolean = left.dataType == BinaryType
+
   override def eval(input: InternalRow): Any =
-    ExtractAllHelper.eval(
-      left.eval(input).asInstanceOf[UTF8String],
-      right.eval(input).asInstanceOf[UTF8String])
+    if (binaryHtml)
+      ExtractAllHelper.evalBytes(
+        left.eval(input).asInstanceOf[Array[Byte]],
+        right.eval(input).asInstanceOf[UTF8String])
+    else
+      ExtractAllHelper.eval(
+        left.eval(input).asInstanceOf[UTF8String],
+        right.eval(input).asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val l = left.genCode(ctx)
     val r = right.genCode(ctx)
+    val entry = if (binaryHtml) "evalBytes" else "eval"
     val code =
       code"""
         ${l.code}
         ${r.code}
-        InternalRow ${ev.value} = graft.plans.ExtractAllHelper.eval(
+        InternalRow ${ev.value} = graft.plans.ExtractAllHelper.$entry(
           ${l.isNull} ? null : ${l.value},
           ${r.isNull} ? null : ${r.value});
       """

@@ -142,7 +142,8 @@ object Scheduler {
       defaultBudget: Int,
       numPartitions: Int,
       saltFactor: Int = 16,
-      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): (DataFrame, DataFrame) = {
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged,
+      forcePartitionedSeen: Boolean = false): (DataFrame, DataFrame) = {
     import graft.seen.UrlSeen
     import org.apache.spark.sql.expressions.Window
     val allowed = Politeness.applyRobots(pending, robots)
@@ -158,7 +159,8 @@ object Scheduler {
       .agg(min(struct(stringCols.map(col): _*)).as("__row"))
       .select(joinKeys.map(col) ++ stringCols.map(c => col("__row").getField(c).as(c)): _*)
     val narrow = allowedP.select(narrowCols.map(col): _*)
-    val unseen = UrlSeen.antiJoin(narrow, seen, "url_hash", expectedSeen, bloomFpp, scope = scope)
+    val unseen = UrlSeen.antiJoin(narrow, seen, "url_hash", expectedSeen, bloomFpp,
+      forcePartitioned = forcePartitionedSeen, scope = scope)
     val saltExpr = pmod(col("url_hash"), lit(saltFactor))
     val partitioned = unseen.repartition(numPartitions, col("host"), saltExpr)
     // first-wins dedup as a lag scan over the shared exchange: rows of one

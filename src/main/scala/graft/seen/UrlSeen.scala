@@ -65,7 +65,12 @@ object UrlSeen {
       fpp: Double = 0.03,
       forcePartitioned: Boolean = false,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
-    if (expectedSeen <= 0) return frontier
+    // a NEGATIVE estimate is always a caller bug (the 0 contract is "I hold
+    // the exact count and it is zero") — failing loud here beats silently
+    // disabling the dedup gate and re-crawling the whole seen set
+    require(expectedSeen >= 0,
+      s"expectedSeen must be >= 0 (exact-zero short-circuits the gate); got $expectedSeen")
+    if (expectedSeen == 0) return frontier
     if (forcePartitioned || expectedSeen > PartitionedThreshold)
       antiJoinPartitioned(frontier, seen, hashCol, expectedSeen, fpp, scope)
     else antiJoinBroadcast(frontier, seen, hashCol, expectedSeen, fpp, scope)

@@ -19,17 +19,20 @@ object DebugExtractAB {
       s.sparkContext.setLogLevel("WARN"); s
     }
 
-    def run(useExpr: Boolean): Double = {
+    def run(mode: String): Double = {
       val spark = session()
       try {
         val pages = spark.read.parquet(pagesPath)
           .withColumn("url_norm",
             graft.plans.UrlCanonExpr.canon(regexp_replace(col("url"), "/ar/", "/en/")))
-        val fields =
-          if (useExpr)
+        val fields = mode match {
+          case "binary" => // bytes straight into the expression (round 5)
+            graft.plans.ExtractAllExpr.extractAll(col("html"), col("lang"))
+          case "decode" => // the r04 shape: decode column op first
             graft.plans.ExtractAllExpr.extractAll(decode(col("html"), "UTF-8"), col("lang"))
-          else
+          case _ =>
             graft.extract.Extractors.extractAllUdf(decode(col("html"), "UTF-8"), col("lang"))
+        }
         val withFields = pages.withColumn("fields", fields)
         val pivoted = graft.extract.Extractors.pivotLangs(withFields, "url_norm")
           .withColumn("url_en", coalesce(col("url_en"), col("url_norm")))
@@ -43,12 +46,14 @@ object DebugExtractAB {
       } finally spark.stop()
     }
 
-    var minE = Double.MaxValue; var minU = Double.MaxValue
+    var minB = Double.MaxValue; var minE = Double.MaxValue; var minU = Double.MaxValue
     for (r <- 1 to rounds) {
-      val e = run(useExpr = true); minE = math.min(minE, e)
-      val u = run(useExpr = false); minU = math.min(minU, u)
-      println(f"ROUND $r expr=$e%.2fs udf=$u%.2fs")
+      val b = run("binary"); minB = math.min(minB, b)
+      val e = run("decode"); minE = math.min(minE, e)
+      val u = run("udf"); minU = math.min(minU, u)
+      println(f"ROUND $r binary=$b%.2fs decode=$e%.2fs udf=$u%.2fs")
     }
-    println(f"RESULT expr_min=$minE%.2fs udf_min=$minU%.2fs ratio_udf_over_expr=${minU / minE}%.2f")
+    println(f"RESULT binary_min=$minB%.2fs decode_min=$minE%.2fs udf_min=$minU%.2fs " +
+      f"decode_over_binary=${minE / minB}%.2f udf_over_binary=${minU / minB}%.2f")
   }
 }

@@ -85,4 +85,37 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(got.size == 1000 && got.values.toSet == Set(0L))
     spark.catalog.clearCache()
   }
+
+  test("hot-label broadcast path (giant component) is exact: star graph with " +
+    "threshold forcing every label through the broadcast resolution") {
+    import spark.implicits._
+    // a 500-node star around node 0 collapses to one giant component whose
+    // label frequency is the whole graph — with hotThreshold=1 every halving
+    // lookup runs through the broadcast map (the path VERDICT r04 #1 is
+    // about), and the labeling must still equal the plain-join fixpoint
+    val n = 500L
+    val nodes = (0L until n).toDF("doc_id")
+    val edges = (1L until n).map(i => (0L, i)).toDF("a", "b")
+    val hot = ConnectedComponents.components(nodes, edges, hotThreshold = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hot.size == 500 && hot.values.toSet == Set(0L))
+    spark.catalog.clearCache()
+  }
+
+  test("hot/cold split agrees with the plain join on a mixed graph " +
+    "(one giant star + small components + isolated nodes)") {
+    import spark.implicits._
+    // giant star {0..99} (hot under threshold 10), a 5-chain {200..204}
+    // (cold), a pair {300,301} (cold), isolated {400}
+    val nodes = ((0L until 100L) ++ (200L to 204L) ++ Seq(300L, 301L, 400L)).toDF("doc_id")
+    val edges = ((1L until 100L).map(i => (0L, i)) ++
+      (200L until 204L).map(i => (i, i + 1)) ++ Seq((300L, 301L))).toDF("a", "b")
+    val split = ConnectedComponents.components(nodes, edges, hotThreshold = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = ConnectedComponents.components(nodes, edges) // default: nothing hot
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(split == plain)
+    assert(split.values.toSet == Set(0L, 200L, 300L, 400L))
+    spark.catalog.clearCache()
+  }
 }

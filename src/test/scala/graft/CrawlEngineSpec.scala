@@ -155,6 +155,48 @@ class CrawlEngineSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned Bloom seen gate LIVE through the engine: full drain + " +
+    "torn-round resume equal the broadcast-path run exactly") {
+    import spark.implicits._
+    // VERDICT r04 #3: UrlSeenSpec proves the partitioned build standalone
+    // and CrawlEngineSpec proves kill/resume under the broadcast gate — this
+    // composes them: every round's seen anti-join runs the executor-built
+    // cogrouped-Bloom path (forcePartitionedSeen; production dispatches at
+    // 8M seen via the manifest rowCount), through schedule -> fetch ->
+    // sinks -> commit -> torn-round resume.
+    val pages = Synthetic.pages(spark, PagesN, 4).toDF()
+    val robots = Synthetic.robots(spark).toDF()
+    val budgets = Synthetic.budgets(spark, Budget).toDF()
+    // full drain under the partitioned gate
+    val dirA = freshDir()
+    val eA = new CrawlEngine(spark, dirA, numPartitions = 8, defaultBudget = Budget,
+      maxAttempts = MaxAttempts, forcePartitionedSeen = true)
+    eA.init(Synthetic.frontier(spark, N, 4).toDF())
+    var last = -1L
+    var r = 0
+    while (last != 0 && r < 100) { last = eA.runRound(pages, robots, budgets); r += 1 }
+    assert(schedule(eA) == schedule(engine8), "partitioned-gate schedule")
+    assert(eA.seenTable.read().get.as[Long].collect().toSet == oracle._2, "partitioned-gate seen")
+    // torn round under the partitioned gate (kill after the seen append,
+    // the tear point that corrupts the gate's own input if resume is wrong)
+    val dirB = freshDir()
+    val eB = new CrawlEngine(spark, dirB, numPartitions = 8, defaultBudget = Budget,
+      maxAttempts = MaxAttempts, forcePartitionedSeen = true)
+    eB.init(Synthetic.frontier(spark, N, 4).toDF())
+    eB.runRound(pages, robots, budgets)
+    eB.crashAfterCommit = 2
+    intercept[RuntimeException] { eB.runRound(pages, robots, budgets) }
+    eB.crashAfterCommit = -1
+    val eB2 = new CrawlEngine(spark, dirB, numPartitions = 8, defaultBudget = Budget,
+      maxAttempts = MaxAttempts, forcePartitionedSeen = true)
+    assert(eB2.readCheckpoint().get.round == 1)
+    last = -1L; r = 0
+    while (last != 0 && r < 100) { last = eB2.runRound(pages, robots, budgets); r += 1 }
+    assert(schedule(eB2) == schedule(engine8), "partitioned-gate torn-round schedule")
+    assert(eB2.seenTable.read().get.as[Long].collect().toSet == oracle._2,
+      "partitioned-gate torn-round seen")
+  }
+
   test("a round releases only its own caches — an unrelated cached frame survives") {
     val unrelated = spark.range(1000).toDF("x").persist()
     assert(unrelated.count() == 1000)
