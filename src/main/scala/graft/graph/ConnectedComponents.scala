@@ -111,30 +111,43 @@ object ConnectedComponents {
       // The join keys the LEFT side on `component`, whose multiplicity is
       // component size — a giant component would hash all its rows to one
       // reducer. Labels above hotThreshold are therefore resolved through a
-      // broadcast map instead (their rows never shuffle); the frequency
-      // count itself is a map-side-combinable aggregate over the
-      // checkpointed `folded`, so it is skew-free by construction. The
-      // three references to `hotLabels` below collapse into one reused
-      // broadcast exchange (same plan → ReuseExchange).
+      // broadcast map instead (their rows never shuffle). Detection runs
+      // every round (sizes only grow as labels merge) as a
+      // map-side-combinable aggregate over the checkpointed `folded` —
+      // skew-free by construction — and the hot set is COLLECTED: it is
+      // provably tiny (≤ |V|/threshold rows), and the collect both gates
+      // the split machinery (the common no-skew round pays one cheap
+      // count job and keeps the plain 2-scan halving) and feeds the hot
+      // path a local relation instead of recomputing the aggregate in
+      // three join branches.
       val hotLabels = folded.groupBy(col("component")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > hotThreshold)
         .select(col("component").as("__hot"))
-      // lookup rows for hot labels only: label(hotLabel) — ≤ one row per hot
-      // label, tiny by definition
-      val hotMap = folded.join(broadcast(hotLabels), col("id") === col("__hot"))
-        .select(col("id").as("__cid"), col("component").as("__ccomp"))
+        .collect().map(_.getLong(0))
       val lookup = folded.select(col("id").as("__cid"), col("component").as("__ccomp"))
-      val hotRows = folded.join(broadcast(hotLabels),
-        col("component") === col("__hot"), "left_semi")
-      val coldRows = folded.join(broadcast(hotLabels),
-        col("component") === col("__hot"), "left_anti")
       def halve(rows: DataFrame, map: DataFrame, bcast: Boolean): DataFrame =
         rows.as("a")
           .join(if (bcast) broadcast(map) else map, col("a.component") === col("__cid"), "left")
           .select(col("a.id").as("id"),
             coalesce(col("__ccomp"), col("a.component")).as("component"))
-      val next = halve(hotRows, hotMap, bcast = true)
-        .unionByName(halve(coldRows, lookup, bcast = false))
+      val halved =
+        if (hotLabels.isEmpty) halve(folded, lookup, bcast = false)
+        else {
+          val spark = folded.sparkSession
+          import spark.implicits._
+          val hotDf = hotLabels.toSeq.toDF("__hot")
+          // lookup rows for hot labels only: label(hotLabel) — ≤ one row
+          // per hot label, tiny by definition
+          val hotMap = folded.join(broadcast(hotDf), col("id") === col("__hot"))
+            .select(col("id").as("__cid"), col("component").as("__ccomp"))
+          val hotRows = folded.join(broadcast(hotDf),
+            col("component") === col("__hot"), "left_semi")
+          val coldRows = folded.join(broadcast(hotDf),
+            col("component") === col("__hot"), "left_anti")
+          halve(hotRows, hotMap, bcast = true)
+            .unionByName(halve(coldRows, lookup, bcast = false))
+        }
+      val next = halved
         .observe(obs, expr("bit_xor(xxhash64(id, component))").as("label_fp"))
         .localCheckpoint(true)
       val fp = Option(obs.get("label_fp")).map(_.asInstanceOf[Long])

@@ -36,7 +36,11 @@ object MiniHtml {
       tag: String,
       attrs: Map[String, String],
       children: ArrayBuffer[Node]) extends Node {
-    def classes: Set[String] =
+    /** Cached: the selector engine probes this once per (element, selector
+      * with a class part) — recomputing the regex split per probe made class
+      * matching the dominant per-page cost (~14 selectors × every element).
+      * Nodes never leave the executor-side eval, so @transient is safe. */
+    @transient lazy val classes: Set[String] =
       attrs.get("class").map(_.split("\\s+").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     /** BeautifulSoup-style `.text`: all descendant text, document order. */
     def text: String = {
@@ -293,11 +297,28 @@ object MiniHtml {
     Compound(parts.toList)
   }
 
+  /** Compile-once selector cache: the kernel issues the same ~14 constant
+    * selectors for every page, so the tokenizer/regex work runs once per
+    * executor JVM instead of once per (page, selector). Unbounded is fine —
+    * the key set is the program's selector literals. */
+  private val selectorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[(Simple, Boolean)]]()
+
+  private def compiledSelector(sel: String): IndexedSeq[(Simple, Boolean)] = {
+    val hit = selectorCache.get(sel)
+    if (hit != null) hit
+    else {
+      val parts = parseSelector(sel).parts.toIndexedSeq
+      selectorCache.putIfAbsent(sel, parts)
+      parts
+    }
+  }
+
   /** All elements matching `selector`, document order. The compound is
     * matched right-to-left against the element's ancestor chain; each part's
     * flag means "this part must be a direct child of the part to its left". */
   def select(root: Elem, selector: String): List[Elem] = {
-    val parts = parseSelector(selector).parts.toIndexedSeq
+    val parts = compiledSelector(selector)
     if (parts.isEmpty) return Nil
     def go(pi: Int, node: (Elem, Int), anc: List[(Elem, Int)]): Boolean = {
       val (simple, directChild) = parts(pi)
@@ -362,11 +383,26 @@ object MiniHtml {
     * (1-based) among same-tag siblings, bare `tag` keeps all of them
     * (standard XPath child-axis semantics). Returns matches in document
     * order. */
+  private val StepRe = "([a-zA-Z0-9-]+)(?:\\[(\\d+)\\])?".r
+  /** Compile-once xpath-step cache, same rationale as `selectorCache` (the
+    * kernel evaluates one constant path per page). None = unsupported form. */
+  private val xpathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[List[(String, Option[Int])]]]()
+
   def selectXPath(root: Elem, path: String): List[Elem] = {
-    val StepRe = "([a-zA-Z0-9-]+)(?:\\[(\\d+)\\])?".r
-    val steps = path.split("/").filter(_.nonEmpty).toList.map {
-      case StepRe(tag, idx) => (tag.toLowerCase, Option(idx).map(_.toInt))
-      case other => return Nil // unsupported step form
+    var compiled = xpathCache.get(path)
+    if (compiled == null) {
+      def compile(p: String): Option[List[(String, Option[Int])]] =
+        Some(p.split("/").filter(_.nonEmpty).toList.map {
+          case StepRe(tag, idx) => (tag.toLowerCase, Option(idx).map(_.toInt))
+          case _ => return None // unsupported step form
+        })
+      compiled = compile(path)
+      xpathCache.putIfAbsent(path, compiled)
+    }
+    val steps = compiled match {
+      case Some(s) => s
+      case None => return Nil
     }
     var current: List[Elem] = List(root)
     steps.foreach { case (tag, idx) =>

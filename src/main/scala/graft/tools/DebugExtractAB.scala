@@ -46,13 +46,20 @@ object DebugExtractAB {
       } finally spark.stop()
     }
 
-    var minB = Double.MaxValue; var minE = Double.MaxValue; var minU = Double.MaxValue
+    // ROTATE the mode order per round: in a shared JVM the first run of a
+    // round inherits the previous run's GC/teardown debt and the last gets
+    // the warmest code cache — a fixed order hands the last mode a
+    // systematic ~5-10% edge (observed: whichever mode ran last "won").
+    val modes = Array("binary", "decode", "udf")
+    val mins = scala.collection.mutable.Map(modes.map(_ -> Double.MaxValue): _*)
     for (r <- 1 to rounds) {
-      val b = run("binary"); minB = math.min(minB, b)
-      val e = run("decode"); minE = math.min(minE, e)
-      val u = run("udf"); minU = math.min(minU, u)
-      println(f"ROUND $r binary=$b%.2fs decode=$e%.2fs udf=$u%.2fs")
+      val order = Array.tabulate(3)(k => modes((r + k) % 3))
+      val t = order.map(m => m -> run(m)).toMap
+      modes.foreach(m => mins(m) = math.min(mins(m), t(m)))
+      println(f"ROUND $r (order ${order.mkString(",")}) " +
+        f"binary=${t("binary")}%.2fs decode=${t("decode")}%.2fs udf=${t("udf")}%.2fs")
     }
+    val minB = mins("binary"); val minE = mins("decode"); val minU = mins("udf")
     println(f"RESULT binary_min=$minB%.2fs decode_min=$minE%.2fs udf_min=$minU%.2fs " +
       f"decode_over_binary=${minE / minB}%.2f udf_over_binary=${minU / minB}%.2f")
   }
