@@ -61,9 +61,19 @@ object ExtractKernel extends Serializable {
   /** P1/P2 — scripts/utils/extraction_helpers.py:3-17. select_one(sel).text,
     * language-specific sentinel when missing OR when the extracted text is
     * empty (`name if name else sentinel` — empty string is falsy; whitespace
-    * is not: the reference does NOT strip here). */
+    * is not: the reference does NOT strip here).
+    *
+    * Every P-field below splits into a `*From(hits)` core over the selected
+    * elements plus the original root+selector signature delegating to it:
+    * `extractAll` fuses all 14 constant selectors into ONE DOM walk
+    * (MiniHtml.selectMany — the per-selector walks were ~70% of kernel
+    * time), and sharing the cores guarantees the fused and per-field paths
+    * cannot diverge. */
   def productName(root: Elem, selector: String, sentinel: String): String =
-    MiniHtml.selectOne(root, selector).map(_.text).filter(_.nonEmpty).getOrElse(sentinel)
+    productNameFrom(MiniHtml.select(root, selector), sentinel)
+
+  private[extract] def productNameFrom(hits: List[Elem], sentinel: String): String =
+    hits.headOption.map(_.text).filter(_.nonEmpty).getOrElse(sentinel)
 
   /** P3 — extraction_helpers.py:19-25 + metro:100-102: lxml xpath over the
     * re-serialized soup; first match's `.text` (direct text only, may be
@@ -76,28 +86,40 @@ object ExtractKernel extends Serializable {
 
   /** P4 — carrefour_extract_data.py:26-32: `.css-1nnke3o` text stripped, "" default. */
   def brandName(root: Elem): String =
-    MiniHtml.selectOne(root, ".css-1nnke3o").map(_.text.trim).getOrElse("")
+    brandNameFrom(MiniHtml.select(root, ".css-1nnke3o"))
+
+  private[extract] def brandNameFrom(hits: List[Elem]): String =
+    hits.headOption.map(_.text.trim).getOrElse("")
 
   /** P5 — carrefour_extract_data.py:35-46: first integer in
     * `.css-juexlj > span:nth-child(2)`; -1 when absent (plan maps -1 -> ""). */
   def offerDaysToAdd(root: Elem): Int =
-    MiniHtml.selectOne(root, ".css-juexlj > span:nth-child(2)")
+    offerDaysFrom(MiniHtml.select(root, ".css-juexlj > span:nth-child(2)"))
+
+  private[extract] def offerDaysFrom(hits: List[Elem]): Int =
+    hits.headOption
       .flatMap(e => DigitsRe.findFirstIn(e.text.trim))
       .map(_.toInt).getOrElse(-1)
 
   /** P6 — carrefour_extract_data.py:49-59: `.css-iamwo8` texts (stripped,
     * non-empty), drop first, right-pad "" to exactly 7. */
-  def categories(root: Elem): Seq[String] = {
-    val all = MiniHtml.select(root, ".css-iamwo8").map(_.text.trim).filter(_.nonEmpty)
+  def categories(root: Elem): Seq[String] =
+    categoriesFrom(MiniHtml.select(root, ".css-iamwo8"))
+
+  private[extract] def categoriesFrom(hits: List[Elem]): Seq[String] = {
+    val all = hits.map(_.text.trim).filter(_.nonEmpty)
     val dropped = if (all.nonEmpty) all.tail else Nil
     (dropped ++ Seq.fill(7)("")).take(7)
   }
 
   /** P7 — carrefour_extract_data.py:62-84: `#__NEXT_DATA__` JSON,
     * products[0].attributes.barCodes[0], fallback .ean, sentinel otherwise. */
-  def barcode(root: Elem): String = {
+  def barcode(root: Elem): String =
+    barcodeFrom(MiniHtml.select(root, "#__NEXT_DATA__"))
+
+  private[extract] def barcodeFrom(hits: List[Elem]): String = {
     try {
-      MiniHtml.selectOne(root, "#__NEXT_DATA__") match {
+      hits.headOption match {
         case None => BarcodeSentinel
         case Some(el) =>
           val json = mapper.readTree(el.text.trim)
@@ -116,23 +138,32 @@ object ExtractKernel extends Serializable {
 
   /** P8 — carrefour_extract_data.py:87-93: `div.css-1c2pck7 img`@src. */
   def imageUrl(root: Elem): String =
-    MiniHtml.selectOne(root, "div.css-1c2pck7 img")
-      .flatMap(_.attrs.get("src")).getOrElse(ImageSentinel)
+    imageUrlFrom(MiniHtml.select(root, "div.css-1c2pck7 img"))
+
+  private[extract] def imageUrlFrom(hits: List[Elem]): String =
+    hits.headOption.flatMap(_.attrs.get("src")).getOrElse(ImageSentinel)
 
   /** P10 — carrefour_extract_data.py:114-120: `.css-1i90gmp` first \d+.\d+. */
   def priceAfter(root: Elem): String =
-    MiniHtml.selectOne(root, ".css-1i90gmp")
-      .flatMap(e => PriceRe.findFirstIn(e.text)).getOrElse("")
+    priceAfterFrom(MiniHtml.select(root, ".css-1i90gmp"))
+
+  private[extract] def priceAfterFrom(hits: List[Elem]): String =
+    hits.headOption.flatMap(e => PriceRe.findFirstIn(e.text)).getOrElse("")
 
   /** P9 — carrefour_extract_data.py:96-111: if priceAfter present, read
     * `del.css-1bdwabt` (raise on 'Use code'), else/on-failure fall back to
     * `.css-17ctnp`; sentinel "Price not found". */
-  def priceBefore(root: Elem, priceAfterValue: String): String = {
+  def priceBefore(root: Elem, priceAfterValue: String): String =
+    priceBeforeFrom(MiniHtml.select(root, "del.css-1bdwabt"),
+      MiniHtml.select(root, ".css-17ctnp"), priceAfterValue)
+
+  private[extract] def priceBeforeFrom(delHits: List[Elem], fallbackHits: List[Elem],
+      priceAfterValue: String): String = {
     def fallback: String =
-      MiniHtml.selectOne(root, ".css-17ctnp")
+      fallbackHits.headOption
         .flatMap(e => PriceRe.findFirstIn(e.text)).getOrElse(PriceSentinel)
     if (priceAfterValue.nonEmpty) {
-      MiniHtml.selectOne(root, "del.css-1bdwabt") match {
+      delHits.headOption match {
         case Some(el) =>
           val t = el.text
           if (t.contains("Use code")) fallback
@@ -149,9 +180,12 @@ object ExtractKernel extends Serializable {
     * lands as the empty cell in the sink). `found=false` (no island, or
     * unparseable JSON) is the reference's NameError/exception failure path —
     * the whole URL fails and re-enters the retry loop (metro:176-182). */
-  def ldJson(root: Elem): (Boolean, String, String, String, String) = {
+  def ldJson(root: Elem): (Boolean, String, String, String, String) =
+    ldJsonFrom(MiniHtml.select(root, "script[type=application/ld+json]"))
+
+  private[extract] def ldJsonFrom(hits: List[Elem]): (Boolean, String, String, String, String) = {
     try {
-      MiniHtml.selectOne(root, "script[type=application/ld+json]") match {
+      hits.headOption match {
         case None => (false, "", "", "", "")
         case Some(el) =>
           val j = mapper.readTree(el.text.trim)
@@ -176,8 +210,10 @@ object ExtractKernel extends Serializable {
   /** Metro breadcrumb categories — metro_markets_extract_product_data.py:48-81:
     * `.breadcrumb li` texts via nested `a` (li without `a` -> ""), drop the
     * first crumb, pad "" to 7. */
-  def breadcrumbs(root: Elem): Seq[String] = {
-    val lis = MiniHtml.select(root, ".breadcrumb li")
+  def breadcrumbs(root: Elem): Seq[String] =
+    breadcrumbsFrom(MiniHtml.select(root, ".breadcrumb li"))
+
+  private[extract] def breadcrumbsFrom(lis: List[Elem]): Seq[String] = {
     val crumbs = lis.map { li =>
       MiniHtml.selectOne(li, "a").map(_.text.trim).getOrElse("")
     }
@@ -188,35 +224,62 @@ object ExtractKernel extends Serializable {
   /** P16 — metro_markets_extract_product_data.py:21-46: `.price p.before` /
     * `.price p.after` text, strip literal "LE", trim; "" when absent. */
   def metroPrice(root: Elem, which: String): String =
-    MiniHtml.selectOne(root, s".price p.$which")
-      .map(e => e.text.replace("LE", "").trim).getOrElse("")
+    metroPriceFrom(MiniHtml.select(root, s".price p.$which"))
+
+  private[extract] def metroPriceFrom(hits: List[Elem]): String =
+    hits.headOption.map(e => e.text.replace("LE", "").trim).getOrElse("")
 
   /** P14 — href harvest: every `a`'s href, "N/A" when the attribute is
     * missing (metro_markets_extract_product_urls.py:56-66). Absolutization
     * happens in the plan (UrlCanon.absolutize). */
   def links(root: Elem): Seq[String] =
-    MiniHtml.select(root, "a").map(_.attrs.getOrElse("href", "N/A"))
+    linksFrom(MiniHtml.select(root, "a"))
 
-  /** Parse once, extract everything. `lang` selects the P1 vs P2 sentinel. */
+  private[extract] def linksFrom(hits: List[Elem]): Seq[String] =
+    hits.map(_.attrs.getOrElse("href", "N/A"))
+
+  /** The 14 constant selectors of the fused extraction pass, in the index
+    * order `extractAll` reads them. */
+  private val FusedSelectors: IndexedSeq[String] = IndexedSeq(
+    ".css-106scfp",                      // 0 P1/P2 name
+    ".css-1nnke3o",                      // 1 P4 brand
+    ".css-juexlj > span:nth-child(2)",   // 2 P5 offer span
+    ".css-iamwo8",                       // 3 P6 categories
+    "#__NEXT_DATA__",                    // 4 P7 barcode island
+    "div.css-1c2pck7 img",               // 5 P8 image
+    ".css-1i90gmp",                      // 6 P10 price after
+    "del.css-1bdwabt",                   // 7 P9 price before (primary)
+    ".css-17ctnp",                       // 8 P9 price before (fallback)
+    "script[type=application/ld+json]",  // 9 P15 ld+json island
+    ".breadcrumb li",                    // 10 Metro breadcrumbs
+    ".price p.before",                   // 11 P16
+    ".price p.after",                    // 12 P16
+    "a")                                 // 13 P14 links
+
+  /** Parse once, select everything in ONE DOM walk, extract every field.
+    * `lang` selects the P1 vs P2 sentinel. Field semantics live in the
+    * shared `*From` cores above, so this fused path and the per-field
+    * select-based functions are the same code over the same hits. */
   def extractAll(html: String, lang: String): PageFields = {
     val root = MiniHtml.parse(if (html == null) "" else html)
+    val h = MiniHtml.selectMany(root, FusedSelectors)
     val sentinel = if (lang == "ar") NameSentinelAr else NameSentinelEn
-    val pAfter = priceAfter(root)
-    val (ldFnd, ldN, ldB, ldP, ldI) = ldJson(root)
+    val pAfter = priceAfterFrom(h(6))
+    val (ldFnd, ldN, ldB, ldP, ldI) = ldJsonFrom(h(9))
     PageFields(
-      name = productName(root, ".css-106scfp", sentinel),
-      brand = brandName(root),
-      categories = categories(root),
-      barcode = barcode(root),
-      imageUrl = imageUrl(root),
-      priceBefore = priceBefore(root, pAfter),
+      name = productNameFrom(h(0), sentinel),
+      brand = brandNameFrom(h(1)),
+      categories = categoriesFrom(h(3)),
+      barcode = barcodeFrom(h(4)),
+      imageUrl = imageUrlFrom(h(5)),
+      priceBefore = priceBeforeFrom(h(7), h(8), pAfter),
       priceAfter = pAfter,
-      offerDaysToAdd = offerDaysToAdd(root),
+      offerDaysToAdd = offerDaysFrom(h(2)),
       ldFound = ldFnd, ldName = ldN, ldBrand = ldB, ldProductId = ldP, ldImage = ldI,
-      breadcrumbs = breadcrumbs(root),
-      metroPriceBefore = metroPrice(root, "before"),
-      metroPriceAfter = metroPrice(root, "after"),
+      breadcrumbs = breadcrumbsFrom(h(10)),
+      metroPriceBefore = metroPriceFrom(h(11)),
+      metroPriceAfter = metroPriceFrom(h(12)),
       arNameXpath = metroArName(root),
-      links = links(root))
+      links = linksFrom(h(13)))
   }
 }
