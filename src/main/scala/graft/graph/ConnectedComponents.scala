@@ -76,13 +76,17 @@ object ConnectedComponents {
     // pattern; plain persist still pays exponential re-analysis)
     var labels = nodes.select(col(idCol).as("id"), col(idCol).cast("long").as("component"))
       .localCheckpoint(true)
-    // convergence check rides the checkpoint action for free: labels only
-    // ever DECREASE under min-propagation, so the labeling stabilizes
-    // exactly at the fixpoint. The observed metric is the XOR-fold of
-    // xxhash64(id, component): equal across two rounds iff no label changed
-    // (up to a ~2^-64 hash-cancellation; a sum of raw labels would overflow
-    // ANSI arithmetic for xxhash64-sized node ids, bit_xor cannot)
-    var lastFp: Option[Long] = None
+    // convergence check rides the FOLD's checkpoint action for free: the
+    // observed metric counts rows whose label an incoming edge lowered this
+    // round. Zero changes at the fold IS the fixpoint — for every (symmetric)
+    // edge the two endpoint labels are then equal, so labels are constant per
+    // component, and each label is a member id m with label(m)=m and
+    // label(m) <= m (labels only decrease from the node's own id), hence the
+    // component MINIMUM. The halving step can then be skipped too (it maps
+    // component -> label(component) = component), so detecting at the fold
+    // ends the loop HALF A ROUND earlier than the previous
+    // fingerprint-equality scheme, which burned a full extra
+    // propagate+halve round just to observe stability.
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -97,11 +101,26 @@ object ConnectedComponents {
         .agg(min(col("component")).as("__inc"))
       val obs = org.apache.spark.sql.Observation(s"cc_$iters")
       // checkpointed so the halving self-join below is a plain
-      // LogicalRDD⋈LogicalRDD self-join
+      // LogicalRDD⋈LogicalRDD self-join; the observation sits between the
+      // join and the select so it can still see __inc
       val folded = labels.join(minIncoming, Seq("id"), "left")
+        .observe(obs,
+          sum(when(col("__inc") < col("component"), 1L).otherwise(0L)).as("changed"),
+          count(lit(1)).as("total"))
         .select(col("id"),
           least(col("component"), coalesce(col("__inc"), col("component"))).as("component"))
         .localCheckpoint(true)
+      val changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      // |V| rides the same observation (folded has exactly one row per node):
+      // a component can never outgrow the graph, so when |V| <= hotThreshold
+      // the per-round hot-label count job is provably empty and skipped
+      val nodeCount = Option(obs.get("total")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (changed == 0L) {
+        // labels == folded: the fixpoint was already reached; skip the
+        // halving machinery (hot-label count job + self-join + checkpoint)
+        converged = true
+        iters += 1
+      } else {
       // pointer halving: component <- label(component). label(v) <= v and is
       // itself a node id, so the left join always shrinks-or-keeps — a chain
       // of length d converges in O(log d) rounds instead of d (the r03
@@ -120,10 +139,12 @@ object ConnectedComponents {
       // count job and keeps the plain 2-scan halving) and feeds the hot
       // path a local relation instead of recomputing the aggregate in
       // three join branches.
-      val hotLabels = folded.groupBy(col("component")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > hotThreshold)
-        .select(col("component").as("__hot"))
-        .collect().map(_.getLong(0))
+      val hotLabels =
+        if (nodeCount <= hotThreshold) Array.empty[Long]
+        else folded.groupBy(col("component")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > hotThreshold)
+          .select(col("component").as("__hot"))
+          .collect().map(_.getLong(0))
       val lookup = folded.select(col("id").as("__cid"), col("component").as("__ccomp"))
       def halve(rows: DataFrame, map: DataFrame, bcast: Boolean): DataFrame =
         rows.as("a")
@@ -147,14 +168,9 @@ object ConnectedComponents {
           halve(hotRows, hotMap, bcast = true)
             .unionByName(halve(coldRows, lookup, bcast = false))
         }
-      val next = halved
-        .observe(obs, expr("bit_xor(xxhash64(id, component))").as("label_fp"))
-        .localCheckpoint(true)
-      val fp = Option(obs.get("label_fp")).map(_.asInstanceOf[Long])
-      converged = fp.isEmpty || fp == lastFp // empty graph converges trivially
-      lastFp = fp
-      labels = next
+      labels = halved.localCheckpoint(true)
       iters += 1
+      }
     }
     // a silent exit here would return partially-propagated labels (diameter >
     // maxIters) and quietly diverge from the recursive-CTE oracle — fail loud
