@@ -33,6 +33,21 @@ class ConnectedComponentsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("already-converged input (self-loops only) ends at the first fold, maxIters=1") {
+    import spark.implicits._
+    // every incoming label equals the node's own -> zero fold-changes in
+    // round 1 IS the fixpoint; with the old fingerprint-equality scheme this
+    // still worked at maxIters=1 only because nothing ever changed — the
+    // assert pins that the fold-detection path returns the identity labeling
+    // without needing a second round
+    val nodes = (1L to 4L).toDF("doc_id")
+    val edges = Seq((1L, 1L), (3L, 3L)).toDF("a", "b")
+    val got = ConnectedComponents.components(nodes, edges, maxIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    spark.catalog.clearCache()
+  }
+
   test("iteration cap exhaustion fails loud instead of returning partial labels") {
     import spark.implicits._
     val n = 12L
