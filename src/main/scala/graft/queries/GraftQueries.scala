@@ -1517,7 +1517,9 @@ object GraftQueries {
       |FROM documents""".stripMargin
 
   /** HTML extraction kernel + EN⋈AR pivot + 34-col Product projection over
-    * a deterministic synthetic pages corpus (P1-P23, J1). */
+    * a deterministic synthetic pages corpus (P1-P23, J1). Oracle-exact: the
+    * DuckDB side replays the generator's splitmix64 closed-form and restates
+    * all 34 columns without parsing HTML (SplitmixOracleSql). */
   private def qExtractProducts(s: SparkSession, dir: String): DataFrame = {
     val pages = Synthetic.pages(s, 200, 8).toDF()
       .withColumn("url_norm",
@@ -1531,8 +1533,9 @@ object GraftQueries {
   /** Metro pipeline end-to-end (P3 xpath name, P15 ld+json with reference
     * sentinels, P16 metro prices, P17 price-swap, metro offer_start rule)
     * over the deterministic Metro corpus; AR page dropped for every 13th id
-    * to exercise the missing-Arabic branch. Rows-only (HTML kernel);
-    * byte-identity vs the pure oracle is MetroExtractSpec. */
+    * to exercise the missing-Arabic branch. Oracle-exact via the splitmix64
+    * replay (SplitmixOracleSql.metroExtractSql); byte-identity vs the pure
+    * oracle is additionally MetroExtractSpec. */
   private def qExtractMetro(s: SparkSession, dir: String): DataFrame = {
     val pages = Synthetic.metroPages(s, 300, 8).toDF()
       .withColumn("id", regexp_extract(col("url"), "metro-item-(\\d+)", 1).cast("long"))
@@ -1556,10 +1559,10 @@ object GraftQueries {
     * "byte-identical extracted text per url" — through the driver's oracle
     * gate: the synthetic corpus carries the GOLDEN extracted text as a data
     * column (a pure function of id, FIXTURES.md §1), so the kernel-extracted
-    * name fields equality-check against the golden without the oracle
-    * parsing HTML (DuckDB cannot; and replaying the generator's splitmix64
-    * in SQL needs 128-bit limb multiplication per field — see PLANS.md
-    * "extract oracles"). Emits name mismatches and missing products;
+    * name fields equality-check against the golden INSIDE the Spark plan —
+    * an invariant the full splitmix oracle (SplitmixOracleSql) cannot state,
+    * because it never sees the html/text columns. Emits name mismatches and
+    * missing products;
     * expected EMPTY (oracle = empty set). Full-34-column byte identity
     * stays at the ScalaTest layer (ExtractKernelSpec, CrawlEngineSpec). */
   private def qExtractTextCheck(s: SparkSession, dir: String): DataFrame = {
@@ -1908,6 +1911,8 @@ object GraftQueries {
     "q_crawl_schedule" -> qCrawlScheduleSql,
     "q_simhash64_native" -> qSimhash64NativeSql,
     "q_minhash_lsh_native" -> qMinhashLshNativeSql,
+    "q_extract_products" -> SplitmixOracleSql.carrefourExtractSql,
+    "q_extract_metro" -> SplitmixOracleSql.metroExtractSql,
     "q_extract_text_check" -> qExtractTextCheckSql,
     "q_extract_metro_text_check" -> qExtractTextCheckSql, // same empty-set shape
     "q_multimodal_decode" -> qMultimodalDecodeSql)
