@@ -155,19 +155,42 @@ object GraftQueries {
 
   /** J4/A2 — URL-seen anti-join via the two-stage Bloom gate (identity:
     * equals plain LEFT ANTI). Seen = every 5th doc's url. */
-  private def qSeenAntiJoin(s: SparkSession, dir: String): DataFrame = {
+  private def qSeenAntiJoin(s: SparkSession, dir: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
     val frontier = t(s, dir, "documents")
       .withColumn("url", messyUrl)
       .withColumn("url_hash", xxhash64(col("url")))
       .select("doc_id", "url", "url_hash")
     val seen = frontier.filter(col("doc_id") % 5 === 0).select("url_hash")
-    UrlSeen.antiJoin(frontier, seen, "url_hash", expectedSeen = 20000, fpp = 0.03)
+    UrlSeen.antiJoin(frontier, seen, "url_hash", expectedSeen = 20000, fpp = 0.03,
+        scope = scope)
       .select(col("doc_id"), col("url"))
   }
 
   private val qSeenAntiJoinSql =
     s"""SELECT doc_id, $messyUrlSql AS url FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** J4/A2 cuckoo variant with a RE-CRAWL window: the gate admits frontier
+    * rows not in (seen ∖ expired) — expired URLs (every 15th doc, a subset
+    * of the every-5th seen set) become schedulable again via in-place
+    * cuckoo-filter deletes, no seen-table rebuild (UrlSeen.antiJoinCuckoo). */
+  private def qSeenAntiJoinCuckoo(s: SparkSession, dir: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    val frontier = t(s, dir, "documents")
+      .withColumn("url", messyUrl)
+      .withColumn("url_hash", xxhash64(col("url")))
+      .select("doc_id", "url", "url_hash")
+    val seen = frontier.filter(col("doc_id") % 5 === 0).select("url_hash")
+    val expired = frontier.filter(col("doc_id") % 15 === 0).select("url_hash")
+    UrlSeen.antiJoinCuckoo(frontier, seen, expired, "url_hash", expectedSeen = 20000,
+        scope = scope)
+      .select(col("doc_id"), col("url"))
+  }
+
+  private val qSeenAntiJoinCuckooSql =
+    s"""SELECT doc_id, $messyUrlSql AS url FROM documents
+       |WHERE doc_id % 5 <> 0 OR doc_id % 15 = 0""".stripMargin
 
   /** J2 — broadcast dimension join with normalized key (spinneys brand
     * lookup, :396-403,445): lineitem ⋈ part, brand key lowercased/despaced,
@@ -1811,7 +1834,9 @@ object GraftQueries {
     "q_dedup_pipeline" -> ((s: SparkSession, d: String, sc: graft.util.CacheScope) => qDedupPipeline(s, d, sc)),
     "q_embed_neardup_lsh" -> ((s: SparkSession, d: String, sc: graft.util.CacheScope) => qEmbedNearDupLshBucket(s, d, sc)),
     "q_minhash_lsh_native" -> ((s: SparkSession, d: String, sc: graft.util.CacheScope) => qMinhashLshNative(s, d, sc)),
-    "q_crawl_schedule" -> ((s: SparkSession, d: String, sc: graft.util.CacheScope) => qCrawlSchedule(s, d, sc)))
+    "q_crawl_schedule" -> ((s: SparkSession, d: String, sc: graft.util.CacheScope) => qCrawlSchedule(s, d, sc)),
+    "q_seen_antijoin" -> ((s: SparkSession, d: String, sc: graft.util.CacheScope) => qSeenAntiJoin(s, d, sc)),
+    "q_seen_antijoin_cuckoo" -> ((s: SparkSession, d: String, sc: graft.util.CacheScope) => qSeenAntiJoinCuckoo(s, d, sc)))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_frontier_pending" -> (qFrontierPending _),
@@ -1820,7 +1845,8 @@ object GraftQueries {
     "q_url_canon_light" -> (qUrlCanonLight _),
     "q_absolutize" -> (qAbsolutize _),
     "q_json_pluck" -> (qJsonPluck _),
-    "q_seen_antijoin" -> (qSeenAntiJoin _),
+    "q_seen_antijoin" -> ((s: SparkSession, d: String) => qSeenAntiJoin(s, d)),
+    "q_seen_antijoin_cuckoo" -> ((s: SparkSession, d: String) => qSeenAntiJoinCuckoo(s, d)),
     "q_broadcast_dim" -> (qBroadcastDim _),
     "q_variant_merge" -> (qVariantMerge _),
     "q_dedup_first_wins" -> (qDedupFirstWins _),
@@ -1874,6 +1900,7 @@ object GraftQueries {
     "q_absolutize" -> qAbsolutizeSql,
     "q_json_pluck" -> qJsonPluckSql,
     "q_seen_antijoin" -> qSeenAntiJoinSql,
+    "q_seen_antijoin_cuckoo" -> qSeenAntiJoinCuckooSql,
     "q_broadcast_dim" -> qBroadcastDimSql,
     "q_variant_merge" -> qVariantMergeSql,
     "q_dedup_first_wins" -> qDedupFirstWinsSql,

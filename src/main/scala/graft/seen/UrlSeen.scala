@@ -146,4 +146,158 @@ object UrlSeen {
     * as the test oracle for the Bloom path). */
   def exactAntiJoin(frontier: DataFrame, seen: DataFrame, hashCol: String): DataFrame =
     frontier.join(seen.select(col(hashCol)).distinct(), Seq(hashCol), "left_anti")
+
+  /** The CUCKOO variant of the partitioned gate, with a re-crawl window:
+    * frontier rows not in (seen MINUS expired) — the north rule's
+    * "bloom/cuckoo URL-seen set", exercising the half Bloom cannot do.
+    *
+    * At 10^10-frontier scale an expiry window (re-crawl pages older than N
+    * days) invalidates part of the seen set every round. The Bloom build's
+    * only move is discard-and-rebuild over the full seen table; a cuckoo
+    * filter DELETES in place ([[CuckooFilter]]): per bucket, the expired
+    * hashes are removed from the already-built filter — work proportional to
+    * |expired|, not |seen|.
+    *
+    * Same two-stage exactness contract as the Bloom gate: the filter has no
+    * false negatives (multiset fingerprints + delete-only-inserted, enforced
+    * here by semi-joining expired against seen), so sketch-negatives are
+    * definitely not in (seen ∖ expired); sketch-positives pass an exact
+    * left-anti join against (seen ∖ expired). Result == frontier LEFT ANTI
+    * (seen ∖ expired), always — asserted vs the exact oracle in
+    * CuckooFilterSpec.
+    *
+    * `expired` may be empty; `|expired| ≪ |seen|` is the design assumption
+    * (a day's expiry vs the full history) — each bucket's expired hashes are
+    * collected into one list row for the in-place delete pass. */
+  def antiJoinCuckoo(
+      frontier: DataFrame,
+      seen: DataFrame,
+      expired: DataFrame,
+      hashCol: String,
+      expectedSeen: Long,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    require(expectedSeen >= 0,
+      s"expectedSeen must be >= 0 (exact-zero short-circuits the gate); got $expectedSeen")
+    if (expectedSeen == 0) return frontier
+    val b = bucketCount(expectedSeen)
+    val perBucket = math.max(expectedSeen / b, 1L)
+    // delete-safety: a delete of a never-inserted key could eat a colliding
+    // key's fingerprint copy (false negative) — restrict to expired ∩ seen
+    val expiredValid = scope.track(expired.select(col(hashCol)).distinct()
+      .join(seen.select(col(hashCol)), Seq(hashCol), "left_semi").persist())
+    val adjusted = updateCuckooFilters(
+      buildCuckooFilters(seen, hashCol, expectedSeen, b),
+      hashCol, b, perBucket, deletes = Some(expiredValid))
+    val seenMinus = seen.select(col(hashCol)).distinct()
+      .join(expiredValid, Seq(hashCol), "left_anti")
+    antiJoinWithCuckoo(frontier, adjusted, seenMinus, hashCol, b, scope)
+  }
+
+  /** Build the PERSISTABLE per-bucket cuckoo sketch over `seen(hashCol)` —
+    * one row per bucket, schema `(__bucket INT, __filter BINARY)`. This is
+    * the state a long-lived crawl checkpoints next to the seen snapshot
+    * table and then maintains INCREMENTALLY via [[updateCuckooFilters]]
+    * instead of rebuilding from the full 10^10-row history every round. */
+  def buildCuckooFilters(
+      seen: DataFrame, hashCol: String, expectedSeen: Long, buckets: Int): DataFrame = {
+    val perBucket = math.max(expectedSeen / buckets, 1L)
+    def bucketOf(c: Column): Column = pmod(c, lit(buckets)).cast("int")
+    // repartition by the group key FIRST so partial agg buffers are
+    // bucket-local (one task holds ~seen/P items of filter bits, never all)
+    seen.select(col(hashCol))
+      .repartition(buckets, bucketOf(col(hashCol)))
+      .groupBy(bucketOf(col(hashCol)).as("__bucket"))
+      .agg(CuckooAgg.cuckooAgg(col(hashCol), perBucket).as("__filter"))
+  }
+
+  /** One incremental maintenance pass over built filters: per bucket, delete
+    * `deletes` hashes and insert `inserts` hashes IN PLACE. Work is
+    * ∝ |deletes| + |inserts| plus a byte copy of touched buckets — never a
+    * rescan/reshuffle of the seen table, which is the whole point of the
+    * cuckoo sketch over the Bloom at expiry time. Caller contract: every
+    * delete hash was actually inserted (semi-join against seen first;
+    * [[antiJoinCuckoo]] does). A bucket that receives inserts but has no
+    * filter row yet (possible on a fresh hash range) gets a new filter sized
+    * `perBucketCapacity`; overload beyond capacity spills to the stash, so
+    * no-false-negative holds unconditionally. */
+  def updateCuckooFilters(
+      filters: DataFrame,
+      hashCol: String,
+      buckets: Int,
+      perBucketCapacity: Long,
+      deletes: Option[DataFrame] = None,
+      inserts: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BinaryType, IntegerType, StructType}
+    def bucketOf(c: Column): Column = pmod(c, lit(buckets)).cast("int")
+    def lists(df: DataFrame, as: String): DataFrame = df
+      .groupBy(bucketOf(col(hashCol)).as("__bucket"))
+      .agg(collect_list(col(hashCol)).as(as))
+    val outSchema = StructType(Nil)
+      .add("__bucket", IntegerType, nullable = false)
+      .add("__filter", BinaryType, nullable = false)
+    // full_outer on the inserts side: a bucket new to the hash space must
+    // still materialize a filter row or its keys would be silently dropped
+    val joined0 = deletes.map(d => filters.join(lists(d, "__del"), Seq("__bucket"), "left"))
+      .getOrElse(filters.withColumn("__del", lit(null).cast("array<bigint>")))
+    val joined = inserts.map(i => joined0.join(lists(i, "__ins"), Seq("__bucket"), "full_outer"))
+      .getOrElse(joined0.withColumn("__ins", lit(null).cast("array<bigint>")))
+    joined.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("__filter")
+        val del = r.getAs[scala.collection.Seq[Long]]("__del")
+        val ins = r.getAs[scala.collection.Seq[Long]]("__ins")
+        val untouched = (del == null || del.isEmpty) && (ins == null || ins.isEmpty)
+        if (untouched && bytes != null) Row(r.getAs[Int]("__bucket"), bytes)
+        else {
+          val f = if (bytes != null) CuckooFilter.deserialize(bytes)
+            else CuckooFilter.create(math.max(perBucketCapacity, 1L))
+          if (del != null) del.foreach(f.delete)
+          if (ins != null) ins.foreach(f.insert)
+          Row(r.getAs[Int]("__bucket"), f.serialized)
+        }
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** Gate `frontier` against prebuilt/maintained cuckoo filters: cogroup each
+    * frontier bucket with its one filter row (one deserialization per bucket
+    * per task), then the exact left-anti verify join of sketch-positives
+    * against `exactSeen` — the caller's CURRENT exact membership table (for a
+    * re-crawl window that is seen ∖ expired). Identity: result == frontier
+    * LEFT ANTI exactSeen whenever the filters hold exactly exactSeen's keys. */
+  def antiJoinWithCuckoo(
+      frontier: DataFrame,
+      filters: DataFrame,
+      exactSeen: DataFrame,
+      hashCol: String,
+      buckets: Int,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BooleanType, StructType}
+    def bucketOf(c: Column): Column = pmod(c, lit(buckets)).cast("int")
+    // mapPartitions -> groupByKey fuses in OBJECT space: update's rows reach
+    // the key extractor / cogroup as schema-less GenericRows, so the filter
+    // side is read positionally ((0) = __bucket, (1) = __filter)
+    val withBucket = frontier.withColumn("__bucket", bucketOf(col(hashCol)))
+    val hashIdx = withBucket.schema.fieldIndex(hashCol)
+    val outSchema = StructType(withBucket.schema.fields)
+      .add("__maybe_seen", BooleanType, nullable = false)
+    val fGrouped = withBucket.groupByKey((r: Row) => r.getAs[Int]("__bucket"))(Encoders.scalaInt)
+    val cGrouped = filters.groupByKey((r: Row) => r.getInt(0))(Encoders.scalaInt)
+    val flagged = fGrouped.cogroup(cGrouped) { (_, rows, filterRows) =>
+      filterRows.toList.headOption match {
+        case None =>
+          rows.map(r => Row.fromSeq(r.toSeq :+ false))
+        case Some(fr) =>
+          val filter = CuckooFilter.deserialize(fr.getAs[Array[Byte]](1))
+          rows.map(r => Row.fromSeq(r.toSeq :+ filter.mightContain(r.getLong(hashIdx))))
+      }
+    }(Encoders.row(outSchema)).toDF()
+    val flaggedP = scope.track(flagged.persist()) // both branches below read it
+    val definitelyNew = flaggedP.filter(!col("__maybe_seen")).drop("__maybe_seen", "__bucket")
+    val candidates = flaggedP.filter(col("__maybe_seen")).drop("__maybe_seen", "__bucket")
+    val survivors = candidates.join(exactSeen.select(col(hashCol)), Seq(hashCol), "left_anti")
+    definitelyNew.unionByName(survivors)
+  }
 }
