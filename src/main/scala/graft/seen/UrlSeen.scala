@@ -230,7 +230,13 @@ object UrlSeen {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{BinaryType, IntegerType, StructType}
     def bucketOf(c: Column): Column = pmod(c, lit(buckets)).cast("int")
+    // repartition to the filters' own partitioning (HashPartitioning(__bucket,
+    // buckets), from buildCuckooFilters' alias-aware agg) BEFORE grouping, so
+    // the joins below are co-partitioned and exchange-free on the filter side:
+    // the only bytes that cross the wire per update are the window's keys,
+    // never the ∝|seen| filter binaries (DebugCuckooScale measures this)
     def lists(df: DataFrame, as: String): DataFrame = df
+      .repartition(buckets, bucketOf(col(hashCol)))
       .groupBy(bucketOf(col(hashCol)).as("__bucket"))
       .agg(collect_list(col(hashCol)).as(as))
     val outSchema = StructType(Nil)
