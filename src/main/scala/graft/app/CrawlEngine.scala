@@ -51,7 +51,19 @@ final class CrawlEngine(
       * through the executor-built cogrouped-Bloom path at test scale: the
       * two halves were individually proven (UrlSeenSpec, DebugBloomScale)
       * but never composed through an engine commit cycle (VERDICT r04 #3). */
-    forcePartitionedSeen: Boolean = false) {
+    forcePartitionedSeen: Boolean = false,
+    /** RE-CRAWL WINDOW (J4b): when Some(w), a URL's seen entry EXPIRES w
+      * rounds after the round it was fetched in — if the frontier
+      * rediscovers the URL (link harvest or ingest append) at or after
+      * expiry, the seen gate admits it again and the URL is re-fetched.
+      * Seen rows then carry the round they were committed in
+      * (`seen_round`), and the gate is the deletable cuckoo filter
+      * ([[graft.seen.UrlSeen.antiJoinCuckoo]]): the expired window is
+      * deleted from the built per-bucket filters in place and the gate
+      * computes frontier ANTI (seen ∖ expired), still exact end-to-end.
+      * None (default) = the Bloom gate, single-column seen table, never
+      * re-crawl — every pre-existing path is byte-identical. */
+    recrawlAfterRounds: Option[Int] = None) {
 
   import spark.implicits._
 
@@ -117,7 +129,13 @@ final class CrawlEngine(
 
   def ingestSeenAppend(df: DataFrame): Int = {
     val base = readCheckpoint().map(_.seen).getOrElse(0)
-    seenTable.append(df, "ingest", seenTable.resolveBase(base, "ingest"))
+    // recrawl mode: hashes ingested without a recency are stamped with the
+    // current round, so they live a full window before expiring
+    val stamped =
+      if (recrawlAfterRounds.isDefined && !df.columns.contains("seen_round"))
+        df.withColumn("seen_round", lit(readCheckpoint().map(_.round).getOrElse(0)))
+      else df
+    seenTable.append(stamped, "ingest", seenTable.resolveBase(base, "ingest"))
   }
 
   def ingestDealsAppend(df: DataFrame): Int = {
@@ -160,7 +178,9 @@ final class CrawlEngine(
     frontierTable.overwrite(pending)
     // pre-processed rows are already "seen" (reference: is_processed=True
     // rows are never re-fetched, helpers.py:113-114)
-    val preSeen = frontier.filter(col("is_processed")).select(col("url_hash"))
+    val preSeen0 = frontier.filter(col("is_processed")).select(col("url_hash"))
+    val preSeen = if (recrawlAfterRounds.isDefined)
+      preSeen0.withColumn("seen_round", lit(0)) else preSeen0
     seenTable.overwrite(preSeen)
     val dealsId = dealsFrontier.map(d =>
       dealsFrontierTable.overwrite(d.filter(!col("is_processed")))).getOrElse(0)
@@ -207,12 +227,27 @@ final class CrawlEngine(
     // caches in a shared session (VERDICT r02)
     val scope = new graft.util.CacheScope
     try {
-    val seen = seenTable.readAt(seenBase)
-      .getOrElse(Seq.empty[Long].toDF("url_hash"))
+    val seenRaw = seenTable.readAt(seenBase).getOrElse {
+      val e = Seq.empty[Long].toDF("url_hash")
+      if (recrawlAfterRounds.isDefined) e.withColumn("seen_round", lit(0)) else e
+    }
+    val seen = seenRaw.select(col("url_hash"))
+    // J4b re-crawl window: a hash is EXPIRED iff its every seen_round is at
+    // or below (round - w) — a re-fetch after a previous expiry re-stamps it
+    // with that later round, so the anti-join keeps it alive for a fresh
+    // window. The gate then admits frontier ANTI (seen ∖ expired) via the
+    // in-place cuckoo delete (UrlSeen.antiJoinCuckoo, routed in
+    // scheduleRoundNarrow).
+    val expired: Option[DataFrame] = recrawlAfterRounds.map { w =>
+      val boundary = round - w
+      seenRaw.filter(col("seen_round") <= boundary).select(col("url_hash"))
+        .join(seenRaw.filter(col("seen_round") > boundary).select(col("url_hash")),
+          Seq("url_hash"), "left_anti")
+    }
     val seenCount = seenTable.snapshotAt(seenBase).map(_.rowCount).getOrElse(0L)
     val (scheduled0, deferred) = Scheduler.scheduleRoundNarrow(
       pending, robots, budgets, seen, seenCount, bloomFpp, defaultBudget, numPartitions,
-      scope = scope, forcePartitionedSeen = forcePartitionedSeen)
+      scope = scope, forcePartitionedSeen = forcePartitionedSeen, expired = expired)
     // A3: plan-attached observe metrics — the scheduled count and per-round
     // host stats ride the materializing action for free (the reference's
     // count barriers, spinneys_extract_data.py:216-238, re-expressed as
@@ -357,7 +392,9 @@ final class CrawlEngine(
     // the resumed round re-appends onto the same base with zero duplication.
     val fTid = activeFrontier.overwrite(nextFrontier, s"round:$round")
     maybeCrash(1)
-    val sTid = seenTable.append(fetchedHashes, s"round:$round", seenBase)
+    val seenAppendDf = if (recrawlAfterRounds.isDefined)
+      fetchedHashes.withColumn("seen_round", lit(round)) else fetchedHashes
+    val sTid = seenTable.append(seenAppendDf, s"round:$round", seenBase)
     maybeCrash(2)
     val pTid = productsTable.append(products, s"round:$round",
       productsTable.resolveBase(ckpt.products, "ingest"))

@@ -143,7 +143,11 @@ object Scheduler {
       numPartitions: Int,
       saltFactor: Int = 16,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged,
-      forcePartitionedSeen: Boolean = false): (DataFrame, DataFrame) = {
+      forcePartitionedSeen: Boolean = false,
+      /** J4b re-crawl window: hashes whose seen entry has expired. When set,
+        * the gate is the deletable cuckoo filter and admits frontier ANTI
+        * (seen ∖ expired) — rediscovered expired URLs schedule again. */
+      expired: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     import graft.seen.UrlSeen
     import org.apache.spark.sql.expressions.Window
     val allowed = Politeness.applyRobots(pending, robots)
@@ -159,8 +163,13 @@ object Scheduler {
       .agg(min(struct(stringCols.map(col): _*)).as("__row"))
       .select(joinKeys.map(col) ++ stringCols.map(c => col("__row").getField(c).as(c)): _*)
     val narrow = allowedP.select(narrowCols.map(col): _*)
-    val unseen = UrlSeen.antiJoin(narrow, seen, "url_hash", expectedSeen, bloomFpp,
-      forcePartitioned = forcePartitionedSeen, scope = scope)
+    val unseen = expired match {
+      case Some(e) =>
+        UrlSeen.antiJoinCuckoo(narrow, seen, e, "url_hash", expectedSeen, scope = scope)
+      case None =>
+        UrlSeen.antiJoin(narrow, seen, "url_hash", expectedSeen, bloomFpp,
+          forcePartitioned = forcePartitionedSeen, scope = scope)
+    }
     val saltExpr = pmod(col("url_hash"), lit(saltFactor))
     val partitioned = unseen.repartition(numPartitions, col("host"), saltExpr)
     // first-wins dedup as a lag scan over the shared exchange: rows of one

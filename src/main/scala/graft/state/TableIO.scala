@@ -103,20 +103,31 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     (dir, n)
   }
 
-  /** The snapshot a new round commit must parent from: the LATEST snapshot
-    * iff every snapshot above `baseId` (the checkpointed id) carries
-    * `onlyLineage` (streaming-ingest appends are legitimate state); otherwise
-    * `baseId` itself — a torn round's commits (kill between table appends and
-    * the checkpoint write) are left orphaned rather than chained into the
-    * next round's manifest. */
+  /** The snapshot a new round commit must parent from: the HIGHEST snapshot
+    * whose whole ancestry back to `baseId` (the checkpointed id) carries
+    * `onlyLineage` (streaming-ingest appends are legitimate state). A torn
+    * round's commits (kill between table appends and the checkpoint write)
+    * sit ABOVE that head and are left orphaned rather than chained into the
+    * next round's manifest — while ingest appends that landed BEFORE the
+    * torn commit stay visible. (The original all-or-nothing resolution
+    * silently orphaned those pre-tear ingest rows together with the torn
+    * snapshot — an exactly-once violation exposed by
+    * CrawlEngineRecrawlSpec's mid-re-crawl tear.) */
   def resolveBase(baseId: Int, onlyLineage: String): Int = {
     var s = currentSnapshot
-    val curId = s.map(_.id).getOrElse(0)
+    val path = mutable.ListBuffer.empty[Snapshot] // CURRENT -> ... (top-down)
     while (s.exists(_.id > baseId)) {
-      if (!s.exists(_.lineageJson == onlyLineage)) return baseId
+      path += s.get
       s = s.flatMap(x => snapshotAt(x.parent))
     }
-    if (s.exists(_.id == baseId) || baseId == 0) curId else baseId
+    // a chain that never reaches baseId (fork above an orphaned tear) keeps
+    // the checkpointed base authoritative
+    if (!(s.exists(_.id == baseId) || baseId == 0)) return baseId
+    var resolved = baseId
+    path.reverseIterator // bottom-up: extend through consecutive ingest appends
+      .takeWhile(_.lineageJson == onlyLineage)
+      .foreach(snap => resolved = snap.id)
+    resolved
   }
 
   /** Append df as a new snapshot (previous data retained). Returns id.

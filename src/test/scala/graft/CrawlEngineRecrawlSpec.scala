@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.app.{CrawlEngine, MerchantSpec}
+
+/** Engine-level RE-CRAWL WINDOW (J4b) over the deletable cuckoo seen gate:
+  * with `recrawlAfterRounds = Some(w)`, a URL fetched in round r is blocked
+  * by the seen gate while `round - w < r` and re-admitted once its entry
+  * expires — IF the frontier rediscovers it (ingest append / link harvest).
+  * A successful re-fetch re-stamps the hash with the new round, renewing the
+  * window. Without the config the seen gate is the Bloom path and a fetched
+  * URL never re-schedules, exactly as before.
+  *
+  * Uses the GraphQL (harvest-free) Spinneys merchant so each round's
+  * schedule count is the direct observable of the gate: one drain round
+  * fetches everything, then every later round's pending is exactly the
+  * re-ingested rediscovery set. */
+class CrawlEngineRecrawlSpec extends SparkTestBase {
+
+  private val N = 60L
+  private val Window = 2
+  private val RunDate = "2024-11-10"
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-recrawl").toString
+
+  private def doc(id: Long, ar: Boolean): String = {
+    val name = s"${if (ar) "AR " else ""}Prod $id"
+    s"""{"data":{"product":{"id":$id,"sku":"R$id","name":"$name","brand":null,""" +
+      s""""thumbnail":{"url":"https://img/rc$id.jpg"},"categories":[{"name":"C$id"}],""" +
+      s""""price_range":{"maximum_price":{"final_price":{"value":10.50},"regular_price":{"value":12.00}}}}}}"""
+  }
+  private def url(id: Long): String = s"https://spinneys-egypt.com/en/item-$id"
+
+  private def frontier(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0L until N).map(id => (s"cat${id % 2}", url(id), false, id))
+      .toDF("category", "url", "is_processed", "discovered_seq")
+  }
+  private def pages(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0L until N).flatMap { id =>
+      Seq("en", "ar").map(lang => graft.model.Page(url(id),
+        new java.sql.Timestamp(1700000000000L + id),
+        doc(id, lang == "ar").getBytes("UTF-8"), "", lang))
+    }.toDF()
+  }
+  private def brandDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    graft.extract.GraphQLExtract.spinneysBrandDim(
+      Seq(("Brand 0", "https://img/b0.png", 0L)).toDF("name", "image_url", "fetch_seq"))
+  }
+  private def emptyRobots(s: SparkSession) = {
+    import s.implicits._
+    Seq.empty[(String, String, Boolean, Int)].toDF("host", "path_prefix", "allow", "crawl_delay_ms")
+  }
+  private def emptyBudgets(s: SparkSession) = {
+    import s.implicits._
+    Seq.empty[(String, Int)].toDF("host", "per_round")
+  }
+
+  private def mkEngine(dir: String, recrawl: Option[Int]): CrawlEngine =
+    new CrawlEngine(spark, dir, runDate = RunDate, numPartitions = 4,
+      defaultBudget = 10000, maxAttempts = 2,
+      merchant = MerchantSpec.spinneys(brandDim(spark)),
+      recrawlAfterRounds = recrawl)
+
+  private def round(e: CrawlEngine): Long =
+    e.runRound(pages(spark), emptyRobots(spark), emptyBudgets(spark))
+  private def rediscover(e: CrawlEngine): Unit =
+    e.ingestFrontierAppend(e.enrichSeeds(frontier(spark)))
+
+  /** (round, crawl_order, url_norm) triples — the exactness surface. */
+  private def schedule(e: CrawlEngine): Seq[(Int, Long, String)] =
+    e.scheduleTable.read().get.select("round", "crawl_order", "url_norm")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+  private def seenRows(e: CrawlEngine): Seq[(Long, Int)] =
+    e.seenTable.read().get.select("url_hash", "seen_round")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+
+  test("expiry re-admits rediscovered URLs; a re-fetch re-stamps and renews the window") {
+    val e = mkEngine(freshDir(), Some(Window))
+    e.init(e.enrichSeeds(frontier(spark)))
+    assert(round(e) == N)                      // round 1: everything fetched
+    rediscover(e)
+    assert(round(e) == 0L)                     // round 2: 1 > 2-w -> window active
+    rediscover(e)
+    assert(round(e) == N)                      // round 3: 1 <= 3-w -> expired, re-fetched
+    rediscover(e)
+    assert(round(e) == 0L)                     // round 4: re-stamped at 3 -> alive again
+    // seen lineage: every hash exactly twice, at rounds 1 and 3
+    val byHash = seenRows(e).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(byHash.size == N.toInt)
+    byHash.foreach { case (h, rs) => assert(rs == Seq(1, 3), s"hash=$h rounds=$rs") }
+    // the schedule records both fetch generations with provenance
+    val byRound = schedule(e).groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byRound == Map(1 -> N.toInt, 3 -> N.toInt))
+  }
+
+  test("without a window, rediscovered URLs never re-schedule (Bloom path unchanged)") {
+    val e = mkEngine(freshDir(), None)
+    e.init(e.enrichSeeds(frontier(spark)))
+    assert(round(e) == N)
+    rediscover(e)
+    assert(round(e) == 0L)
+    rediscover(e)
+    assert(round(e) == 0L)                     // round 3: no expiry without the config
+    assert(e.seenTable.read().get.columns.toSeq == Seq("url_hash")) // schema untouched
+  }
+
+  test("kill between table commits mid-RE-CRAWL round resumes exactly under the cuckoo gate") {
+    // untorn reference
+    val ref = mkEngine(freshDir(), Some(Window))
+    ref.init(ref.enrichSeeds(frontier(spark)))
+    round(ref); rediscover(ref); round(ref); rediscover(ref); round(ref)
+    // torn: crash after the seen append of the re-crawl round (commit 2),
+    // the nastiest point — seen re-stamped but checkpoint not advanced
+    val dir = freshDir()
+    val e = mkEngine(dir, Some(Window))
+    e.init(e.enrichSeeds(frontier(spark)))
+    round(e); rediscover(e); round(e); rediscover(e)
+    e.crashAfterCommit = 2
+    intercept[RuntimeException] { round(e) }
+    e.crashAfterCommit = -1
+    val resumed = mkEngine(dir, Some(Window))  // fresh engine object = restart
+    assert(resumed.readCheckpoint().get.round == 2)
+    assert(round(resumed) == N)                // the re-crawl round replays exactly
+    assert(schedule(resumed) == schedule(ref))
+    assert(seenRows(resumed) == seenRows(ref))
+  }
+}
