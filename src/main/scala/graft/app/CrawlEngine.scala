@@ -57,12 +57,15 @@ final class CrawlEngine(
       * rediscovers the URL (link harvest or ingest append) at or after
       * expiry, the seen gate admits it again and the URL is re-fetched.
       * Seen rows then carry the round they were committed in
-      * (`seen_round`), and the gate is the deletable cuckoo filter
-      * ([[graft.seen.UrlSeen.antiJoinCuckoo]]): the expired window is
-      * deleted from the built per-bucket filters in place and the gate
-      * computes frontier ANTI (seen ∖ expired), still exact end-to-end.
-      * None (default) = the Bloom gate, single-column seen table, never
-      * re-crawl — every pre-existing path is byte-identical. */
+      * (`seen_round`), and the gate is the deletable cuckoo filter read
+      * from the CHECKPOINTED `seen_sketch` snapshot and maintained
+      * incrementally at each commit ([[graft.seen.UrlSeen.updateCuckooFilters]]
+      * — deletes ∝ the stamps crossing the boundary this round, inserts =
+      * the round's fetched hashes; [[graft.seen.UrlSeen.antiJoinWithCuckoo]]
+      * computes frontier ANTI (seen ∖ expired), still exact end-to-end).
+      * Steady-state per-round work is bounded by the window, never the
+      * seen history. None (default) = the Bloom gate, single-column seen
+      * table, never re-crawl — every pre-existing path is byte-identical. */
     recrawlAfterRounds: Option[Int] = None) {
 
   import spark.implicits._
@@ -85,6 +88,13 @@ final class CrawlEngine(
   /** Run-global processed-barcodes set (seoudi:20 / spinneys:12) for
     * merchants with `barcodeRunGate` — spans rounds AND both frontiers. */
   val barcodeSeenTable = new SnapshotTable(spark, s"$stateDir/barcode_seen")
+  /** Checkpointed cuckoo-filter state for the re-crawl window (J4b): one row
+    * per bucket, `(__bucket, __filter)`, maintained INCREMENTALLY per round
+    * (`UrlSeen.updateCuckooFilters` — deletes ∝ the stamps crossing the
+    * expiry boundary this round, inserts = this round's fetched hashes)
+    * instead of rebuilt from the full seen history. The manifest lineage
+    * carries the sketch geometry (`sketch:b=..;cap=..;n=..`). */
+  val sketchTable = new SnapshotTable(spark, s"$stateDir/seen_sketch")
 
   private val mapper = new ObjectMapper()
   private val ckptPath = new Path(s"$stateDir/checkpoint.json")
@@ -92,7 +102,7 @@ final class CrawlEngine(
 
   final case class Checkpoint(round: Int, frontier: Int, seen: Int, products: Int,
       quarantine: Int, schedule: Int, lineage: Int, scheduledTotal: Long,
-      deals: Int = 0, barcodeSeen: Int = 0)
+      deals: Int = 0, barcodeSeen: Int = 0, sketch: Int = 0)
 
   /** Observed (plan-attached) metrics of the most recent round: scheduled,
     * hosts (approx), max_attempt. Populated by the observe() on the
@@ -114,7 +124,7 @@ final class CrawlEngine(
     Some(Checkpoint(n.path("round").asInt(), n.path("frontier").asInt(), n.path("seen").asInt(),
       n.path("products").asInt(), n.path("quarantine").asInt(), n.path("schedule").asInt(),
       n.path("lineage").asInt(), n.path("scheduledTotal").asLong(),
-      n.path("deals").asInt(), n.path("barcodeSeen").asInt()))
+      n.path("deals").asInt(), n.path("barcodeSeen").asInt(), n.path("sketch").asInt()))
   }
 
   /** Streaming-ingest appends (FrontierStream) must parent from the RESUME-
@@ -150,6 +160,7 @@ final class CrawlEngine(
     node.put("schedule", c.schedule); node.put("lineage", c.lineage)
     node.put("scheduledTotal", c.scheduledTotal)
     node.put("deals", c.deals); node.put("barcodeSeen", c.barcodeSeen)
+    node.put("sketch", c.sketch)
     val tmp = new Path(s"$stateDir/.checkpoint.json.tmp")
     val out = fs.create(tmp, true); out.write(mapper.writeValueAsBytes(node)); out.close()
     if (fs.exists(ckptPath)) fs.delete(ckptPath, false)
@@ -192,6 +203,23 @@ final class CrawlEngine(
 
   private def emptyFrontierLike(df: DataFrame): DataFrame = df.limit(0)
 
+  /** Per-round view of the re-crawl gate: the checkpointed filters, the
+    * window-bounded exact membership and delete set, and the sketch geometry
+    * (buckets/capacity fixed at build; `inserted` drives the rebuild
+    * trigger). */
+  private case class RecrawlState(filters: DataFrame, exactSeen: DataFrame,
+      newlyExpired: DataFrame, buckets: Int, capacity: Long, inserted: Long)
+
+  private val SketchMeta = """sketch:b=(\d+);cap=(\d+);n=(\d+)""".r
+  /** The sketch snapshot the checkpoint points at, with its geometry parsed
+    * from the manifest lineage; None when absent or unparseable (→ rebuild). */
+  private def sketchMetaAt(id: Int): Option[(DataFrame, Int, Long, Long)] =
+    sketchTable.snapshotAt(id).flatMap(s => s.lineageJson match {
+      case SketchMeta(b, cap, n) =>
+        sketchTable.readAt(id).map(df => (df, b.toInt, cap.toLong, n.toLong))
+      case _ => None
+    })
+
   /** Run one round against the pages table; `deals = true` drains the
     * second frontier (own snapshot cursor, shared seen/product/barcode
     * state). Returns #URLs scheduled. */
@@ -232,22 +260,56 @@ final class CrawlEngine(
       if (recrawlAfterRounds.isDefined) e.withColumn("seen_round", lit(0)) else e
     }
     val seen = seenRaw.select(col("url_hash"))
-    // J4b re-crawl window: a hash is EXPIRED iff its every seen_round is at
-    // or below (round - w) — a re-fetch after a previous expiry re-stamps it
-    // with that later round, so the anti-join keeps it alive for a fresh
-    // window. The gate then admits frontier ANTI (seen ∖ expired) via the
-    // in-place cuckoo delete (UrlSeen.antiJoinCuckoo, routed in
-    // scheduleRoundNarrow).
-    val expired: Option[DataFrame] = recrawlAfterRounds.map { w =>
-      val boundary = round - w
-      seenRaw.filter(col("seen_round") <= boundary).select(col("url_hash"))
-        .join(seenRaw.filter(col("seen_round") > boundary).select(col("url_hash")),
-          Seq("url_hash"), "left_anti")
-    }
     val seenCount = seenTable.snapshotAt(seenBase).map(_.rowCount).getOrElse(0L)
+    // J4b re-crawl window over the CHECKPOINTED cuckoo sketch. A hash is
+    // EXPIRED iff its every seen_round is at or below (round - w); a
+    // re-fetch re-stamps it with the later round, renewing the window. The
+    // steady state never scans the full seen table:
+    //  - exactSeen (the gate's verify side) = hashes with ANY stamp newer
+    //    than the boundary — set-equal to "max stamp > boundary" without a
+    //    groupBy, and each seen append dir holds one constant seen_round, so
+    //    parquet min/max pruning reads only the last w rounds' dirs;
+    //  - newlyExpired (this round's in-place deletes) = the rows stamped
+    //    exactly AT the boundary, anti recent. Row-preserving: one delete
+    //    per insert of that boundary round, so the multiset delete-safety
+    //    invariant holds (deletes-per-hash never exceed inserts-per-hash,
+    //    and the copy from a hash's LATEST stamp is only consumed by the
+    //    episode at stamp+w — after which the stamp is no longer recent —
+    //    so no-false-negative vs exactSeen holds unconditionally);
+    //  - the filters come from the seen_sketch snapshot the checkpoint
+    //    points at and are maintained incrementally at commit time
+    //    (UrlSeen.updateCuckooFilters); a rebuild — from the recent window
+    //    only, never the full history — happens when the sketch is absent
+    //    or its cumulative inserts outgrew capacity (stale copies from
+    //    skipped/duplicate stamps are shed there; they only ever cost
+    //    verify-join work, never exactness).
+    val recrawl: Option[RecrawlState] = recrawlAfterRounds.map { w =>
+      require(seenRaw.columns.contains("seen_round"),
+        "recrawlAfterRounds requires seen_round stamps — enable the window " +
+          "from init(), not on a legacy single-column seen table")
+      val boundary = round - w
+      val exactSeen = seenRaw.filter(col("seen_round") > boundary).select(col("url_hash"))
+      val newlyExpired = seenRaw.filter(col("seen_round") === boundary)
+        .select(col("url_hash"))
+        .join(exactSeen, Seq("url_hash"), "left_anti")
+      val (filters, b, cap, inserted) = sketchMetaAt(ckpt.sketch) match {
+        case Some((df, b0, cap0, n0)) if n0 <= b0 * cap0 => (df, b0, cap0, n0)
+        case _ => // absent or outgrown: rebuild from the recent window only
+          val expect = math.max(seenCount, 1024L)
+          val b0 = graft.seen.UrlSeen.bucketCount(expect)
+          val cap0 = math.max(expect / b0, 1L)
+          (graft.seen.UrlSeen.buildCuckooFilters(exactSeen, "url_hash", expect, b0),
+            b0, cap0, seenCount) // rowCount over-approximates the build's inserts
+      }
+      val filtersP = scope.track(filters.persist())
+      RecrawlState(filtersP, exactSeen, newlyExpired, b, cap, inserted)
+    }
     val (scheduled0, deferred) = Scheduler.scheduleRoundNarrow(
       pending, robots, budgets, seen, seenCount, bloomFpp, defaultBudget, numPartitions,
-      scope = scope, forcePartitionedSeen = forcePartitionedSeen, expired = expired)
+      scope = scope, forcePartitionedSeen = forcePartitionedSeen,
+      seenGate = recrawl.map(st => (narrow: DataFrame) =>
+        graft.seen.UrlSeen.antiJoinWithCuckoo(
+          narrow, st.filters, st.exactSeen, "url_hash", st.buckets, scope)))
     // A3: plan-attached observe metrics — the scheduled count and per-round
     // host stats ride the materializing action for free (the reference's
     // count barriers, spinneys_extract_data.py:216-238, re-expressed as
@@ -396,6 +458,24 @@ final class CrawlEngine(
       fetchedHashes.withColumn("seen_round", lit(round)) else fetchedHashes
     val sTid = seenTable.append(seenAppendDf, s"round:$round", seenBase)
     maybeCrash(2)
+    // incremental sketch maintenance: delete the stamps that crossed the
+    // expiry boundary this round, insert this round's fetched hashes — work
+    // ∝ the window, never a rescan of the seen history. Skipped on an idle
+    // round (nothing fetched): the boundary deletes it would have applied
+    // linger as stale copies, which cost verify-join candidates only and are
+    // shed at the next rebuild — exactness never depends on the sketch being
+    // tight, only on it being a superset of exactSeen.
+    val skTid = recrawl match {
+      case Some(st) if scheduledCount > 0 =>
+        val updated = graft.seen.UrlSeen.updateCuckooFilters(
+          st.filters, "url_hash", st.buckets, st.capacity,
+          deletes = Some(st.newlyExpired), inserts = Some(fetchedHashes))
+        val t = sketchTable.overwrite(updated,
+          s"sketch:b=${st.buckets};cap=${st.capacity};n=${st.inserted + scheduledCount}")
+        maybeCrash(8)
+        t
+      case _ => ckpt.sketch
+    }
     val pTid = productsTable.append(products, s"round:$round",
       productsTable.resolveBase(ckpt.products, "ingest"))
     maybeCrash(3)
@@ -423,7 +503,7 @@ final class CrawlEngine(
       sTid, pTid, qTid, schedTid, lTid,
       ckpt.scheduledTotal + scheduledCount,
       deals = if (deals) fTid else ckpt.deals,
-      barcodeSeen = bTid))
+      barcodeSeen = bTid, sketch = skTid))
     scheduledCount
     // release exactly the frames THIS round persisted (engine + scheduler +
     // politeness + seen-gate call chain) — never the whole session cache —

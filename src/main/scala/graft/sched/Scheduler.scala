@@ -144,10 +144,11 @@ object Scheduler {
       saltFactor: Int = 16,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged,
       forcePartitionedSeen: Boolean = false,
-      /** J4b re-crawl window: hashes whose seen entry has expired. When set,
-        * the gate is the deletable cuckoo filter and admits frontier ANTI
-        * (seen ∖ expired) — rediscovered expired URLs schedule again. */
-      expired: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      /** J4b re-crawl window: when set, REPLACES the Bloom seen gate. Called
+        * with the narrow frontier projection; must return its unseen subset
+        * (the engine passes a closure over its checkpointed cuckoo filters —
+        * UrlSeen.antiJoinWithCuckoo against seen ∖ expired). */
+      seenGate: Option[DataFrame => DataFrame] = None): (DataFrame, DataFrame) = {
     import graft.seen.UrlSeen
     import org.apache.spark.sql.expressions.Window
     val allowed = Politeness.applyRobots(pending, robots)
@@ -163,9 +164,8 @@ object Scheduler {
       .agg(min(struct(stringCols.map(col): _*)).as("__row"))
       .select(joinKeys.map(col) ++ stringCols.map(c => col("__row").getField(c).as(c)): _*)
     val narrow = allowedP.select(narrowCols.map(col): _*)
-    val unseen = expired match {
-      case Some(e) =>
-        UrlSeen.antiJoinCuckoo(narrow, seen, e, "url_hash", expectedSeen, scope = scope)
+    val unseen = seenGate match {
+      case Some(gate) => gate(narrow)
       case None =>
         UrlSeen.antiJoin(narrow, seen, "url_hash", expectedSeen, bloomFpp,
           forcePartitioned = forcePartitionedSeen, scope = scope)

@@ -98,6 +98,15 @@ class CrawlEngineRecrawlSpec extends SparkTestBase {
     // the schedule records both fetch generations with provenance
     val byRound = schedule(e).groupBy(_._1).view.mapValues(_.size).toMap
     assert(byRound == Map(1 -> N.toInt, 3 -> N.toInt))
+    // the cuckoo sketch is CHECKPOINTED state, maintained per round — its
+    // snapshot exists, carries parseable geometry, and the checkpoint
+    // points at a committed snapshot
+    val snap = e.sketchTable.currentSnapshot
+    assert(snap.isDefined, "seen_sketch snapshot missing")
+    assert(snap.get.lineageJson.matches("""sketch:b=\d+;cap=\d+;n=\d+"""),
+      s"sketch lineage: ${snap.get.lineageJson}")
+    assert(e.readCheckpoint().get.sketch > 0)
+    assert(e.sketchTable.readAt(e.readCheckpoint().get.sketch).isDefined)
   }
 
   test("without a window, rediscovered URLs never re-schedule (Bloom path unchanged)") {
@@ -116,19 +125,23 @@ class CrawlEngineRecrawlSpec extends SparkTestBase {
     val ref = mkEngine(freshDir(), Some(Window))
     ref.init(ref.enrichSeeds(frontier(spark)))
     round(ref); rediscover(ref); round(ref); rediscover(ref); round(ref)
-    // torn: crash after the seen append of the re-crawl round (commit 2),
-    // the nastiest point — seen re-stamped but checkpoint not advanced
-    val dir = freshDir()
-    val e = mkEngine(dir, Some(Window))
-    e.init(e.enrichSeeds(frontier(spark)))
-    round(e); rediscover(e); round(e); rediscover(e)
-    e.crashAfterCommit = 2
-    intercept[RuntimeException] { round(e) }
-    e.crashAfterCommit = -1
-    val resumed = mkEngine(dir, Some(Window))  // fresh engine object = restart
-    assert(resumed.readCheckpoint().get.round == 2)
-    assert(round(resumed) == N)                // the re-crawl round replays exactly
-    assert(schedule(resumed) == schedule(ref))
-    assert(seenRows(resumed) == seenRows(ref))
+    // tear points: after the seen append (2: seen re-stamped, sketch and
+    // checkpoint not) and after the sketch overwrite (8: sketch written,
+    // checkpoint not — resume must read the CHECKPOINTED sketch snapshot,
+    // not the torn CURRENT)
+    Seq(2, 8).foreach { tearAt =>
+      val dir = freshDir()
+      val e = mkEngine(dir, Some(Window))
+      e.init(e.enrichSeeds(frontier(spark)))
+      round(e); rediscover(e); round(e); rediscover(e)
+      e.crashAfterCommit = tearAt
+      intercept[RuntimeException] { round(e) }
+      e.crashAfterCommit = -1
+      val resumed = mkEngine(dir, Some(Window)) // fresh engine object = restart
+      assert(resumed.readCheckpoint().get.round == 2, s"tearAt=$tearAt")
+      assert(round(resumed) == N, s"tearAt=$tearAt") // the re-crawl round replays
+      assert(schedule(resumed) == schedule(ref), s"tearAt=$tearAt")
+      assert(seenRows(resumed) == seenRows(ref), s"tearAt=$tearAt")
+    }
   }
 }
