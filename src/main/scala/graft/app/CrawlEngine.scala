@@ -294,8 +294,13 @@ final class CrawlEngine(
         .join(exactSeen, Seq("url_hash"), "left_anti")
       val (filters, b, cap, inserted) = sketchMetaAt(ckpt.sketch) match {
         case Some((df, b0, cap0, n0)) if n0 <= b0 * cap0 => (df, b0, cap0, n0)
-        case _ => // absent or outgrown: rebuild from the recent window only
-          val expect = math.max(seenCount, 1024L)
+        case _ => // absent or outgrown: rebuild from the recent window only.
+          // 2x headroom over the seen rowCount (itself an over-approximation
+          // of live membership) keeps rebuilds amortized — cumulative
+          // inserts must double the history before the trigger re-fires; a
+          // production deployment would size from the recent-window manifest
+          // deltas instead to keep sketch bytes ∝ live set
+          val expect = math.max(2 * seenCount, 1024L)
           val b0 = graft.seen.UrlSeen.bucketCount(expect)
           val cap0 = math.max(expect / b0, 1L)
           (graft.seen.UrlSeen.buildCuckooFilters(exactSeen, "url_hash", expect, b0),
