@@ -138,12 +138,14 @@ final class CrawlEngine(
   }
 
   def ingestSeenAppend(df: DataFrame): Int = {
-    val base = readCheckpoint().map(_.seen).getOrElse(0)
+    val ckpt = readCheckpoint()
+    val base = ckpt.map(_.seen).getOrElse(0)
     // recrawl mode: hashes ingested without a recency are stamped with the
-    // current round, so they live a full window before expiring
+    // current round, so they live a full window before expiring; the next
+    // round folds them into the sketch via the uncovered-delta read
     val stamped =
       if (recrawlAfterRounds.isDefined && !df.columns.contains("seen_round"))
-        df.withColumn("seen_round", lit(readCheckpoint().map(_.round).getOrElse(0)))
+        df.withColumn("seen_round", lit(ckpt.map(_.round).getOrElse(0)))
       else df
     seenTable.append(stamped, "ingest", seenTable.resolveBase(base, "ingest"))
   }
@@ -203,20 +205,25 @@ final class CrawlEngine(
 
   private def emptyFrontierLike(df: DataFrame): DataFrame = df.limit(0)
 
-  /** Per-round view of the re-crawl gate: the checkpointed filters, the
-    * window-bounded exact membership and delete set, and the sketch geometry
-    * (buckets/capacity fixed at build; `inserted` drives the rebuild
-    * trigger). */
+  /** Per-round view of the re-crawl gate: the checkpointed filters (with any
+    * uncovered seen appends folded in), the window-bounded exact membership
+    * and delete set, the sketch geometry (buckets/capacity fixed at build;
+    * `inserted` drives the rebuild trigger), and whether THIS round rebuilt —
+    * a rebuild's source (exactSeen) is disjoint from newlyExpired, so the
+    * commit must skip the boundary deletes that round (deleting a
+    * never-inserted key could evict a colliding live fingerprint). */
   private case class RecrawlState(filters: DataFrame, exactSeen: DataFrame,
-      newlyExpired: DataFrame, buckets: Int, capacity: Long, inserted: Long)
+      newlyExpired: DataFrame, buckets: Int, capacity: Long, inserted: Long,
+      rebuilt: Boolean)
 
-  private val SketchMeta = """sketch:b=(\d+);cap=(\d+);n=(\d+)""".r
-  /** The sketch snapshot the checkpoint points at, with its geometry parsed
-    * from the manifest lineage; None when absent or unparseable (→ rebuild). */
-  private def sketchMetaAt(id: Int): Option[(DataFrame, Int, Long, Long)] =
+  private val SketchMeta = """sketch:b=(\d+);cap=(\d+);n=(\d+);seen=(\d+)""".r
+  /** The sketch snapshot the checkpoint points at, with its geometry and the
+    * seen snapshot it COVERS parsed from the manifest lineage; None when
+    * absent or unparseable (→ rebuild). */
+  private def sketchMetaAt(id: Int): Option[(DataFrame, Int, Long, Long, Int)] =
     sketchTable.snapshotAt(id).flatMap(s => s.lineageJson match {
-      case SketchMeta(b, cap, n) =>
-        sketchTable.readAt(id).map(df => (df, b.toInt, cap.toLong, n.toLong))
+      case SketchMeta(b, cap, n, covered) =>
+        sketchTable.readAt(id).map(df => (df, b.toInt, cap.toLong, n.toLong, covered.toInt))
       case _ => None
     })
 
@@ -292,8 +299,23 @@ final class CrawlEngine(
       val newlyExpired = seenRaw.filter(col("seen_round") === boundary)
         .select(col("url_hash"))
         .join(exactSeen, Seq("url_hash"), "left_anti")
-      val (filters, b, cap, inserted) = sketchMetaAt(ckpt.sketch) match {
-        case Some((df, b0, cap0, n0)) if n0 <= b0 * cap0 => (df, b0, cap0, n0)
+      val (filters, b, cap, inserted, rebuilt) = sketchMetaAt(ckpt.sketch) match {
+        case Some((df, b0, cap0, n0, covered)) if n0 <= b0 * cap0 =>
+          // fold in any seen appends the checkpointed sketch has not covered
+          // (streaming-ingest stamps; rounds whose update was skipped) —
+          // work ∝ the delta dirs straight off the manifest diff. This keeps
+          // the sketch a SUPERSET of exactSeen for every source of seen rows
+          // (without it, ingested pre-seen hashes are sketch-negative and
+          // bypass the exact verify join) and makes every future boundary
+          // delete provably inserted.
+          val deltaRows = seenCount -
+            seenTable.snapshotAt(covered).map(_.rowCount).getOrElse(0L)
+          val folded = seenTable.readDelta(covered, seenBase) match {
+            case Some(delta) => graft.seen.UrlSeen.updateCuckooFilters(
+              df, "url_hash", b0, cap0, inserts = Some(delta.select(col("url_hash"))))
+            case None => df
+          }
+          (folded, b0, cap0, n0 + math.max(deltaRows, 0L), false)
         case _ => // absent or outgrown: rebuild from the recent window only.
           // 2x headroom over the seen rowCount (itself an over-approximation
           // of live membership) keeps rebuilds amortized — cumulative
@@ -304,10 +326,10 @@ final class CrawlEngine(
           val b0 = graft.seen.UrlSeen.bucketCount(expect)
           val cap0 = math.max(expect / b0, 1L)
           (graft.seen.UrlSeen.buildCuckooFilters(exactSeen, "url_hash", expect, b0),
-            b0, cap0, seenCount) // rowCount over-approximates the build's inserts
+            b0, cap0, seenCount, true) // rowCount over-approximates the build's inserts
       }
       val filtersP = scope.track(filters.persist())
-      RecrawlState(filtersP, exactSeen, newlyExpired, b, cap, inserted)
+      RecrawlState(filtersP, exactSeen, newlyExpired, b, cap, inserted, rebuilt)
     }
     val (scheduled0, deferred) = Scheduler.scheduleRoundNarrow(
       pending, robots, budgets, seen, seenCount, bloomFpp, defaultBudget, numPartitions,
@@ -465,18 +487,25 @@ final class CrawlEngine(
     maybeCrash(2)
     // incremental sketch maintenance: delete the stamps that crossed the
     // expiry boundary this round, insert this round's fetched hashes — work
-    // ∝ the window, never a rescan of the seen history. Skipped on an idle
-    // round (nothing fetched): the boundary deletes it would have applied
-    // linger as stale copies, which cost verify-join candidates only and are
-    // shed at the next rebuild — exactness never depends on the sketch being
-    // tight, only on it being a superset of exactSeen.
+    // ∝ the window, never a rescan of the seen history. A REBUILD round is
+    // always persisted (else every idle round would redo the build) but
+    // skips the boundary deletes: the rebuild's source (exactSeen) is
+    // disjoint from newlyExpired, so those keys were never inserted and
+    // deleting them could evict a colliding live fingerprint (the cuckoo
+    // delete-only-inserted contract). A non-rebuild idle round skips the
+    // write entirely: its deferred deletes linger as stale copies, which
+    // cost verify-join candidates only and are shed at the next rebuild —
+    // exactness never depends on the sketch being tight, only on it being a
+    // superset of exactSeen (the uncovered-delta fold at round start).
     val skTid = recrawl match {
-      case Some(st) if scheduledCount > 0 =>
+      case Some(st) if st.rebuilt || scheduledCount > 0 =>
         val updated = graft.seen.UrlSeen.updateCuckooFilters(
           st.filters, "url_hash", st.buckets, st.capacity,
-          deletes = Some(st.newlyExpired), inserts = Some(fetchedHashes))
+          deletes = if (st.rebuilt) None else Some(st.newlyExpired),
+          inserts = Some(fetchedHashes))
         val t = sketchTable.overwrite(updated,
-          s"sketch:b=${st.buckets};cap=${st.capacity};n=${st.inserted + scheduledCount}")
+          s"sketch:b=${st.buckets};cap=${st.capacity};" +
+            s"n=${st.inserted + scheduledCount};seen=$sTid")
         maybeCrash(8)
         t
       case _ => ckpt.sketch

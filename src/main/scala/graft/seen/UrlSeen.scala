@@ -105,8 +105,6 @@ object UrlSeen {
       frontier: DataFrame, seen: DataFrame, hashCol: String,
       expectedSeen: Long, fpp: Double,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{BooleanType, IntegerType}
     val b = bucketCount(expectedSeen)
     val perBucket = math.max(expectedSeen / b, 1L)
     def bucketOf(c: Column): Column = pmod(c, lit(b)).cast("int")
@@ -118,27 +116,50 @@ object UrlSeen {
       .repartition(b, bucketOf(col(hashCol)))
       .groupBy(bucketOf(col(hashCol)).as("__bucket"))
       .agg(BloomAgg.bloomAgg(col(hashCol), perBucket, fpp).as("__bloom"))
+    gateWithSketches(frontier, blooms, seen.select(col(hashCol)).distinct(),
+      hashCol, b,
+      bytes => {
+        val bloom = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+        bloom.mightContainLong _
+      }, scope)
+  }
+
+  /** Shared gate scaffold for the per-bucket sketch cogroups (Bloom AND
+    * cuckoo): flag each frontier row via its bucket's sketch — one
+    * deserialization per bucket per task, never per row — then the exact
+    * LeftAnti verify join of sketch-positives against `exactSeen`. A bucket
+    * with no sketch row flags false (definitely new). `sketches` rows must
+    * be (bucket INT, serialized bytes BINARY) at positions 0/1 — positional
+    * because rows coming out of object space (mapPartitions) can arrive
+    * schema-less. Identity: result == frontier LEFT ANTI exactSeen whenever
+    * the sketches have no false negatives w.r.t. exactSeen. */
+  private def gateWithSketches(
+      frontier: DataFrame, sketches: DataFrame, exactSeen: DataFrame,
+      hashCol: String, buckets: Int,
+      deserialize: Array[Byte] => (Long => Boolean),
+      scope: graft.util.CacheScope): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.BooleanType
+    def bucketOf(c: Column): Column = pmod(c, lit(buckets)).cast("int")
     val withBucket = frontier.withColumn("__bucket", bucketOf(col(hashCol)))
     val hashIdx = withBucket.schema.fieldIndex(hashCol)
     val outSchema = org.apache.spark.sql.types.StructType(
       withBucket.schema.fields).add("__maybe_seen", BooleanType, nullable = false)
     val fGrouped = withBucket.groupByKey((r: Row) => r.getAs[Int]("__bucket"))(Encoders.scalaInt)
-    val bGrouped = blooms.groupByKey((r: Row) => r.getAs[Int]("__bucket"))(Encoders.scalaInt)
-    val flagged = fGrouped.cogroup(bGrouped) { (_, rows, bloomRows) =>
-      bloomRows.toList.headOption match {
+    val sGrouped = sketches.groupByKey((r: Row) => r.getInt(0))(Encoders.scalaInt)
+    val flagged = fGrouped.cogroup(sGrouped) { (_, rows, sketchRows) =>
+      sketchRows.toList.headOption match {
         case None =>
           rows.map(r => Row.fromSeq(r.toSeq :+ false))
-        case Some(br) =>
-          val bloom = BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(br.getAs[Array[Byte]]("__bloom")))
-          rows.map(r => Row.fromSeq(r.toSeq :+ bloom.mightContainLong(r.getLong(hashIdx))))
+        case Some(sr) =>
+          val probe = deserialize(sr.getAs[Array[Byte]](1))
+          rows.map(r => Row.fromSeq(r.toSeq :+ probe(r.getLong(hashIdx))))
       }
     }(Encoders.row(outSchema)).toDF()
     val flaggedP = scope.track(flagged.persist()) // both branches below read it
     val definitelyNew = flaggedP.filter(!col("__maybe_seen")).drop("__maybe_seen", "__bucket")
     val candidates = flaggedP.filter(col("__maybe_seen")).drop("__maybe_seen", "__bucket")
-    val survivors = candidates.join(
-      seen.select(col(hashCol)).distinct(), Seq(hashCol), "left_anti")
+    val survivors = candidates.join(exactSeen, Seq(hashCol), "left_anti")
     definitelyNew.unionByName(survivors)
   }
 
@@ -278,32 +299,11 @@ object UrlSeen {
       exactSeen: DataFrame,
       hashCol: String,
       buckets: Int,
-      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{BooleanType, StructType}
-    def bucketOf(c: Column): Column = pmod(c, lit(buckets)).cast("int")
-    // mapPartitions -> groupByKey fuses in OBJECT space: update's rows reach
-    // the key extractor / cogroup as schema-less GenericRows, so the filter
-    // side is read positionally ((0) = __bucket, (1) = __filter)
-    val withBucket = frontier.withColumn("__bucket", bucketOf(col(hashCol)))
-    val hashIdx = withBucket.schema.fieldIndex(hashCol)
-    val outSchema = StructType(withBucket.schema.fields)
-      .add("__maybe_seen", BooleanType, nullable = false)
-    val fGrouped = withBucket.groupByKey((r: Row) => r.getAs[Int]("__bucket"))(Encoders.scalaInt)
-    val cGrouped = filters.groupByKey((r: Row) => r.getInt(0))(Encoders.scalaInt)
-    val flagged = fGrouped.cogroup(cGrouped) { (_, rows, filterRows) =>
-      filterRows.toList.headOption match {
-        case None =>
-          rows.map(r => Row.fromSeq(r.toSeq :+ false))
-        case Some(fr) =>
-          val filter = CuckooFilter.deserialize(fr.getAs[Array[Byte]](1))
-          rows.map(r => Row.fromSeq(r.toSeq :+ filter.mightContain(r.getLong(hashIdx))))
-      }
-    }(Encoders.row(outSchema)).toDF()
-    val flaggedP = scope.track(flagged.persist()) // both branches below read it
-    val definitelyNew = flaggedP.filter(!col("__maybe_seen")).drop("__maybe_seen", "__bucket")
-    val candidates = flaggedP.filter(col("__maybe_seen")).drop("__maybe_seen", "__bucket")
-    val survivors = candidates.join(exactSeen.select(col(hashCol)), Seq(hashCol), "left_anti")
-    definitelyNew.unionByName(survivors)
-  }
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame =
+    gateWithSketches(frontier, filters, exactSeen.select(col(hashCol)),
+      hashCol, buckets,
+      bytes => {
+        val filter = CuckooFilter.deserialize(bytes)
+        filter.mightContain _
+      }, scope)
 }

@@ -162,16 +162,27 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def read(): Option[DataFrame] =
     currentSnapshot.flatMap(readSnapshot)
 
-  /** Resume-safe incremental read: return the LATEST snapshot iff every
-    * snapshot between `baseId` (exclusive) and CURRENT carries
-    * `onlyLineage` (e.g. streaming-ingest appends); otherwise return the
-    * snapshot at `baseId`. A torn engine round (kill between table commits)
-    * leaves a non-matching snapshot on top, so resume falls back to the
-    * checkpointed id and the torn data stays orphaned — while pure ingest
-    * appends remain visible without a checkpoint bump. */
+  /** Resume-safe incremental read: `readAt(resolveBase(baseId, onlyLineage))`
+    * — the highest snapshot whose ancestry back to `baseId` is
+    * `onlyLineage`-only (see resolveBase). Pure ingest appends remain
+    * visible without a checkpoint bump, INCLUDING those below a torn round
+    * commit; only the torn commits themselves stay orphaned. */
   def readAtOrIngested(baseId: Int, onlyLineage: String): Option[DataFrame] = {
     if (currentSnapshot.isEmpty) return None
     readAt(resolveBase(baseId, onlyLineage))
+  }
+
+  /** Read ONLY the data dirs snapshot `toId` has beyond snapshot `fromId`
+    * (both on the committed chain; dir lists are cumulative, so this is the
+    * appended delta — e.g. the seen rows a checkpointed sketch has not yet
+    * folded in). None when there is no delta. `fromId <= 0` means "all of
+    * toId". */
+  def readDelta(fromId: Int, toId: Int): Option[DataFrame] = {
+    val toDirs = snapshotAt(toId).map(_.dataDirs).getOrElse(Nil)
+    val fromDirs = if (fromId <= 0) Set.empty[String]
+      else snapshotAt(fromId).map(_.dataDirs.toSet).getOrElse(Set.empty)
+    val delta = toDirs.filterNot(fromDirs)
+    if (delta.isEmpty) None else Some(spark.read.parquet(delta: _*))
   }
 
   /** Time travel. */

@@ -34,14 +34,15 @@ class CrawlEngineRecrawlSpec extends SparkTestBase {
   }
   private def url(id: Long): String = s"https://spinneys-egypt.com/en/item-$id"
 
-  private def frontier(s: SparkSession): DataFrame = {
+  private def frontierIds(s: SparkSession, ids: Seq[Long]): DataFrame = {
     import s.implicits._
-    (0L until N).map(id => (s"cat${id % 2}", url(id), false, id))
+    ids.map(id => (s"cat${id % 2}", url(id), false, id))
       .toDF("category", "url", "is_processed", "discovered_seq")
   }
+  private def frontier(s: SparkSession): DataFrame = frontierIds(s, 0L until N)
   private def pages(s: SparkSession): DataFrame = {
     import s.implicits._
-    (0L until N).flatMap { id =>
+    ((0L until N) ++ (100L until 130L)).flatMap { id =>
       Seq("en", "ar").map(lang => graft.model.Page(url(id),
         new java.sql.Timestamp(1700000000000L + id),
         doc(id, lang == "ar").getBytes("UTF-8"), "", lang))
@@ -103,10 +104,29 @@ class CrawlEngineRecrawlSpec extends SparkTestBase {
     // points at a committed snapshot
     val snap = e.sketchTable.currentSnapshot
     assert(snap.isDefined, "seen_sketch snapshot missing")
-    assert(snap.get.lineageJson.matches("""sketch:b=\d+;cap=\d+;n=\d+"""),
+    assert(snap.get.lineageJson.matches("""sketch:b=\d+;cap=\d+;n=\d+;seen=\d+"""),
       s"sketch lineage: ${snap.get.lineageJson}")
     assert(e.readCheckpoint().get.sketch > 0)
     assert(e.sketchTable.readAt(e.readCheckpoint().get.sketch).isDefined)
+  }
+
+  test("streaming-ingested pre-seen hashes gate immediately and expire on schedule") {
+    // The sketch only ever sees commit-time inserts (fetched hashes); hashes
+    // arriving via ingestSeenAppend reach the sketch through the
+    // uncovered-delta fold at round start. Without that fold they are
+    // sketch-negative, bypass the exact verify join, and get re-fetched.
+    val e = mkEngine(freshDir(), Some(Window))
+    e.init(e.enrichSeeds(frontier(spark)))
+    assert(round(e) == N)                                  // round 1
+    // an externally-known seen set (a prior crawl's export) streams in:
+    // batch C, never fetched by THIS engine, stamped with the current round
+    val cIds = 100L until 130L
+    def cFrontier = e.enrichSeeds(frontierIds(spark, cIds))
+    e.ingestSeenAppend(cFrontier.select(col("url_hash")))
+    e.ingestFrontierAppend(cFrontier)                      // rediscovered
+    assert(round(e) == 0L, "ingested pre-seen URLs must not be re-fetched") // round 2
+    e.ingestFrontierAppend(cFrontier)
+    assert(round(e) == cIds.size.toLong)                   // round 3: stamp 1 expired
   }
 
   test("without a window, rediscovered URLs never re-schedule (Bloom path unchanged)") {
