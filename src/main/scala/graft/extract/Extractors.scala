@@ -189,9 +189,16 @@ object Extractors {
   /** G1 — barcode split/explode (seoudi_extract_data.py:404-445): the
     * combined-barcode row PLUS one row per individual barcode when the
     * barcode field holds a ", "-separated list. */
-  def explodeBarcodes(products: DataFrame): DataFrame = {
-    val multi = products.filter(col("barcode").contains(", "))
-      .withColumn("barcode", explode(split(col("barcode"), ", ")))
-    products.unionByName(multi)
-  }
+  def explodeBarcodes(products: DataFrame): DataFrame =
+    // one generator pass instead of `products UNION products.filter.explode`:
+    // the union form scanned (and recomputed) the upstream plan twice; a
+    // single-barcode row explodes its own 1-element array, a multi-barcode
+    // row emits the combined value plus each split part — identical multiset
+    products.select(products.columns.toSeq.map {
+      case "barcode" =>
+        explode(when(col("barcode").contains(", "),
+            concat(array(col("barcode")), split(col("barcode"), ", ")))
+          .otherwise(array(col("barcode")))).as("barcode")
+      case c => col(c)
+    }: _*)
 }

@@ -282,8 +282,17 @@ object GraphQLExtract {
     val kept = products34seq
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn", "__seq")
-    kept.unionByName(
-      kept.withColumn("barcode", explode(split(col("barcode"), ", "))))
+    // combined row + one row per split barcode as ONE generator over the
+    // kept rows: the earlier `kept UNION kept.explode(...)` duplicated the
+    // whole parse+window subtree (2 scans, 2 exchanges, 2 windows — the
+    // exchanges are not plan-identical, so ReuseExchange never fired);
+    // explode(array(combined) ++ split) emits the identical row multiset
+    // from a single pass
+    kept.select(kept.columns.toSeq.map {
+      case "barcode" =>
+        explode(concat(array(col("barcode")), split(col("barcode"), ", "))).as("barcode")
+      case c => col(c)
+    }: _*)
   }
 
   // ---------------- S5: paginated list scan + count barrier ----------------

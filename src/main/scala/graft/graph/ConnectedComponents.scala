@@ -139,36 +139,55 @@ object ConnectedComponents {
       // count job and keeps the plain 2-scan halving) and feeds the hot
       // path a local relation instead of recomputing the aggregate in
       // three join branches.
-      val hotLabels =
-        if (nodeCount <= hotThreshold) Array.empty[Long]
-        else folded.groupBy(col("component")).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > hotThreshold)
-          .select(col("component").as("__hot"))
-          .collect().map(_.getLong(0))
-      val lookup = folded.select(col("id").as("__cid"), col("component").as("__ccomp"))
-      def halve(rows: DataFrame, map: DataFrame, bcast: Boolean): DataFrame =
-        rows.as("a")
-          .join(if (bcast) broadcast(map) else map, col("a.component") === col("__cid"), "left")
-          .select(col("a.id").as("id"),
-            coalesce(col("__ccomp"), col("a.component")).as("component"))
-      val halved =
-        if (hotLabels.isEmpty) halve(folded, lookup, bcast = false)
+      def halveOnce(cur: DataFrame): DataFrame = {
+        val hotLabels =
+          if (nodeCount <= hotThreshold) Array.empty[Long]
+          else cur.groupBy(col("component")).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > hotThreshold)
+            .select(col("component").as("__hot"))
+            .collect().map(_.getLong(0))
+        val lookup = cur.select(col("id").as("__cid"), col("component").as("__ccomp"))
+        def halve(rows: DataFrame, map: DataFrame, bcast: Boolean): DataFrame =
+          rows.as("a")
+            .join(if (bcast) broadcast(map) else map, col("a.component") === col("__cid"), "left")
+            .select(col("a.id").as("id"),
+              coalesce(col("__ccomp"), col("a.component")).as("component"))
+        if (hotLabels.isEmpty) halve(cur, lookup, bcast = false)
         else {
-          val spark = folded.sparkSession
+          val spark = cur.sparkSession
           import spark.implicits._
           val hotDf = hotLabels.toSeq.toDF("__hot")
           // lookup rows for hot labels only: label(hotLabel) — ≤ one row
           // per hot label, tiny by definition
-          val hotMap = folded.join(broadcast(hotDf), col("id") === col("__hot"))
+          val hotMap = cur.join(broadcast(hotDf), col("id") === col("__hot"))
             .select(col("id").as("__cid"), col("component").as("__ccomp"))
-          val hotRows = folded.join(broadcast(hotDf),
+          val hotRows = cur.join(broadcast(hotDf),
             col("component") === col("__hot"), "left_semi")
-          val coldRows = folded.join(broadcast(hotDf),
+          val coldRows = cur.join(broadcast(hotDf),
             col("component") === col("__hot"), "left_anti")
           halve(hotRows, hotMap, bcast = true)
             .unionByName(halve(coldRows, lookup, bcast = false))
         }
-      labels = halved.localCheckpoint(true)
+      }
+      // TWO halvings per round (label ∘ label, applied twice = label^4) in
+      // the latency-bound regime: coverage grows ~4x per round instead of
+      // 2x, so a diameter-d chain converges in ~log4(d) rounds. Below the
+      // hot threshold a round's cost is dominated by the driver round-trip
+      // (checkpoint barrier + fixpoint check), not the joins, so squeezing a
+      // second pointer jump into the SAME checkpointed plan halves the
+      // round count for the price of one extra (tiny) join per round. Above
+      // the threshold rounds are SHUFFLE-bound — a second jump would re-run
+      // the first halve's join inside the hot-label count on an
+      // unmaterialized plan, costing more shuffle than the saved barrier —
+      // so the giant-graph regime keeps one halve per round. The fixpoint
+      // (min reachable id per node) is unchanged either way: halving is
+      // monotone and exact at any application count, and the loop still
+      // terminates only at changed == 0. The second jump resolves through
+      // the ALREADY-halved labels, so it genuinely composes
+      // (label^2 ∘ label^2).
+      val halved1 = halveOnce(folded)
+      labels = (if (nodeCount <= hotThreshold) halveOnce(halved1) else halved1)
+        .localCheckpoint(true)
       iters += 1
       }
     }

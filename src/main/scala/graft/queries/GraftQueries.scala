@@ -27,6 +27,22 @@ object GraftQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a SMALL scan across the cluster before heavy per-row compute
+    * (JSON parse, tokenize+explode+hash, vector math): the sf fixtures are
+    * single-file parquet, so everything below the first exchange otherwise
+    * runs in ONE scan task (guide §2.5 input skew — "one huge unsplittable
+    * file ... repartition immediately after the read"). Scale-adaptive, not
+    * a constant: an input that already scans with >= cluster-parallelism
+    * splits (any real 100 TB table) is returned untouched, so this never
+    * adds a shuffle at scale — it only widens the degenerate
+    * fewer-splits-than-cores case. Round-robin repartition is deterministic
+    * (sort-before-repartition is on by default) and every consumer below is
+    * order-insensitive (aggregates, or windows with total-order keys). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Deterministic messy frontier URL synthesized from documents — mixed
     * case, default port, fragments, unsorted query — the canonicalizer's
     * input. Same formula in SQL below. */
@@ -490,7 +506,7 @@ object GraftQueries {
     (0 until 8).map(i => min(md5(concat(lit(s"${i}_"), col("token")).cast("binary"))).as(s"h$i"))
 
   private def qMinhashSig(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").filter(col("doc_id") < 1500)
+    spread(t(s, dir, "documents").filter(col("doc_id") < 1500))
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
       .groupBy("doc_id")
       .agg(minhashCols.head, minhashCols.tail: _*)
@@ -596,7 +612,7 @@ object GraftQueries {
     * floor-quantized) over pairs within the same source partition. */
   private def qNgramJaccard(s: SparkSession, dir: String,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 1500)
+    val docs = spread(t(s, dir, "documents").filter(col("doc_id") < 1500))
     // trigrams via the shuffle-free array expression (TextFunctions.shingles)
     // — the earlier posexplode + per-doc window shuffled every token once
     val trisAll = docs
@@ -659,7 +675,7 @@ object GraftQueries {
     * their composition end-to-end against one DuckDB recursive-CTE replay. */
   private def qDedupPipeline(s: SparkSession, dir: String,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 1500)
+    val docs = spread(t(s, dir, "documents").filter(col("doc_id") < 1500))
     val tokens = split(col("text"), "\\s+")
     val stopHits = size(filter(tokens, tk =>
       Seq("the", "a", "and", "of").map(w => tk === lit(w)).reduce(_ || _))).cast("double")
@@ -743,7 +759,7 @@ object GraftQueries {
     * the 64-bit production variant is the same construction over 16 hex
     * chars — see SimHash.scala for the native implementation). */
   private def qSimhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
+    val toks = spread(t(s, dir, "documents"))
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
       .withColumn("h4", substring(md5(col("token").cast("binary")), 1, 4))
     // nibble value of hex char c = strpos('0123456789abcdef', c) - 1
@@ -849,28 +865,40 @@ object GraftQueries {
     * hash-rank samples ∝ data density, which is what bounds the max cluster
     * population (DebugScale centroid-balance evidence in BASELINE.md). Still
     * exactly SQL-mirrorable (md5 is the shared hash). */
-  private def ivfRanked(s: SparkSession, dir: String): DataFrame = {
+  private def ivfDists(s: SparkSession, dir: String): DataFrame = {
     val k = ivfK(s, dir)
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val emb = spread(t(s, dir, "embeddings")).select(col("vec_id"), quantized(col("embedding")).as("q"))
     // TakeOrderedAndProject over ids only: distributed partial top-k, k ≈ √n
     val centIds = t(s, dir, "embeddings").select(col("vec_id"))
       .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
       .limit(k.toInt)
     val cents = emb.join(broadcast(centIds), Seq("vec_id"))
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"))
-    val dists = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("q"), col("centroid_id"),
         graft.plans.VecExprs.l2sq(col("q"), col("cq")).as("d2"))
+  }
+
+  private def ivfRanked(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("centroid_id"))
-    dists.withColumn("rn", row_number().over(w))
+    ivfDists(s, dir).withColumn("rn", row_number().over(w))
   }
 
   /** IVF assignment (the scale path for ANN): k ≈ √n deterministic
     * centroids; every vector assigned to its nearest by exact quantized
-    * L2². */
+    * L2². Nearest = a map-side-combinable min(struct(d2, centroid_id))
+    * aggregate instead of a rank window: the window shuffled every
+    * (vec, centroid) distance row — n·k rows — where the partial aggregate
+    * collapses them to ONE row per vector before the exchange. min over
+    * struct(d2, centroid_id) is exactly the window's lexicographic
+    * ORDER BY (d2, centroid_id), so the kept row is identical, ties
+    * included. */
   private def qAnnIvfAssign(s: SparkSession, dir: String): DataFrame =
-    ivfRanked(s, dir).filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("d2"))
+    ivfDists(s, dir)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("centroid_id"))).as("__m"))
+      .select(col("vec_id"), col("__m.centroid_id").as("centroid_id"),
+        col("__m.d2").as("d2"))
 
   private val ivfKSql =
     "(SELECT CAST(greatest(1, ceil(sqrt(count(*)))) AS BIGINT) FROM embeddings)"
@@ -999,7 +1027,7 @@ object GraftQueries {
     require(dim <= AnnOracleMaxDim,
       s"cross-engine LSH oracle embeds plane components up to dim $AnnOracleMaxDim; data has $dim")
     val planes = annPlanesFor(annPlaneCount(n), dim)
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val emb = spread(t(s, dir, "embeddings")).select(col("vec_id"), quantized(col("embedding")).as("q"))
     val withBits = planes.zipWithIndex.foldLeft(emb) { case (df, (p, j)) =>
       df.withColumn(s"__b$j",
         when(graft.plans.VecExprs.dot(col("q"), typedlit(p)) >= 0, lit(1L << j))
@@ -1094,7 +1122,7 @@ object GraftQueries {
       lit("""","level":2,"url_path":"x"}]"""),
       lit(""","attributes":[{"key":"alternative_skus","value":"A"""),
       col("p_partkey").cast("string"), lit("\"}]}]}}}"))
-    val docs = t(s, dir, "part").select(col("p_partkey"), doc.as("doc"))
+    val docs = spread(t(s, dir, "part")).select(col("p_partkey"), doc.as("doc"))
     val item = GraphQLExtract.parseItem(col("doc"))
     docs.select(
       col("p_partkey"),
@@ -1175,7 +1203,7 @@ object GraftQueries {
       lit(",\"price_range\":{\"maximum_price\":{\"final_price\":{\"value\":"), money(fc),
       lit("},\"regular_price\":{\"value\":"), money(rc),
       lit("}}},\"attributes\":"), attrs, lit("}}}"))
-    val docs = t(s, dir, "part").select(
+    val docs = spread(t(s, dir, "part")).select(
       doc(col("p_name"), brandJson(""), cats("Cat")).as("en_doc"),
       when(k % 5 === 0, lit(null).cast("string"))
         .otherwise(doc(concat(lit("AR "), col("p_name")), brandJson("AB "), cats("Arc"))).as("ar_doc"))
@@ -1301,7 +1329,7 @@ object GraftQueries {
       lit(".jpg\"},\"categories\":"), catsC,
       lit(",\"price_range\":{\"maximum_price\":{\"final_price\":{\"value\":"), money(fc),
       lit("},\"regular_price\":{\"value\":"), money(rc), lit("}}}}}}"))
-    val part = t(s, dir, "part")
+    val part = spread(t(s, dir, "part"))
     val docs = part.select(
       doc(col("p_name"), brandJson(""), cats("Cat")).as("en_doc"),
       when(k % 5 === 0, lit(null).cast("string"))
@@ -1415,7 +1443,7 @@ object GraftQueries {
     val doc = concat(lit("{\"data\":{\"product\":{\"sku\":\"S"), str(k),
       lit("\",\"name\":\""), col("p_name"),
       lit("\",\"variants\":["), array_join(varArr, ","), lit("]}}}"))
-    val docs = t(s, dir, "part").select(k.as("p_partkey"), doc.as("doc"))
+    val docs = spread(t(s, dir, "part")).select(k.as("p_partkey"), doc.as("doc"))
     GraphQLExtract.explodeVariants(docs, passThrough = Seq("p_partkey"))
   }
 
@@ -1638,7 +1666,7 @@ object GraftQueries {
     * The r04 version dumped bare fingerprints the driver could only count. */
   private def qSimhash64Native(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
-    t(s, dir, "documents").filter(col("doc_id") < NativeCheckDocs)
+    spread(t(s, dir, "documents").filter(col("doc_id") < NativeCheckDocs))
       .select(col("doc_id"),
         graft.plans.SimHash64Expr.simhash64Native(wsTokens(col("text"))).as("native_fp"),
         simhash64(wsTokens(col("text"))).as("algebra_fp"))
@@ -1670,7 +1698,7 @@ object GraftQueries {
     // sides of each pair self-join — and project-collapse would otherwise
     // inline the (interpreted higher-order) staged shingle build into each
     // of the 4 band slices
-    val sigs = scope.track(t(s, dir, "documents").filter(col("doc_id") < NativeCheckDocs)
+    val sigs = scope.track(spread(t(s, dir, "documents").filter(col("doc_id") < NativeCheckDocs))
       .select(col("doc_id"),
         graft.plans.MinHashShingledExpr.minhashShingled(wsTokens(col("text")), 16, 3).as("fused"),
         graft.plans.MinHashExpr.minhashNative(shingles(wsTokens(col("text")), 3), 16).as("staged"))

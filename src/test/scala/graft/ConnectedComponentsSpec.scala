@@ -50,12 +50,15 @@ class ConnectedComponentsSpec extends SparkTestBase {
 
   test("iteration cap exhaustion fails loud instead of returning partial labels") {
     import spark.implicits._
-    val n = 12L
+    val n = 200L
     val nodes = (0L until n).toDF("doc_id")
     val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
-    // a 12-node path has diameter 11 > 3 rounds of min-label propagation
+    // a 200-node path has diameter 199; two rounds of propagate + DOUBLE
+    // pointer-halving cover ≤ ~35 hops (coverage ≲ 4^r growth), so the cap
+    // must trip — the r06 second halving made the old 12-node/3-round
+    // fixture converge legitimately
     val e = intercept[IllegalStateException] {
-      ConnectedComponents.components(nodes, edges, maxIters = 3)
+      ConnectedComponents.components(nodes, edges, maxIters = 2)
     }
     assert(e.getMessage.contains("did not converge"))
     spark.catalog.clearCache()
