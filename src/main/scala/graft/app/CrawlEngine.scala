@@ -212,9 +212,19 @@ final class CrawlEngine(
     * a rebuild's source (exactSeen) is disjoint from newlyExpired, so the
     * commit must skip the boundary deletes that round (deleting a
     * never-inserted key could evict a colliding live fingerprint). */
-  private case class RecrawlState(filters: DataFrame, exactSeen: DataFrame,
+  private case class RecrawlState(handle: graft.seen.SketchHandle, exactSeen: DataFrame,
       newlyExpired: DataFrame, buckets: Int, capacity: Long, inserted: Long,
       rebuilt: Boolean)
+
+  /** Executor-PINNED sketch filters keyed by the sketch snapshot id (VERDICT
+    * r05 #1): as long as rounds advance through commits in this engine
+    * instance, the ∝|seen| filter binaries are exchanged ONCE (at pin/rebuild)
+    * and then neither re-read from parquet nor re-shuffled — the gate and the
+    * incremental update zip-co-locate against the pinned RDD
+    * ([[graft.seen.SketchHandle]]). A resume in a fresh process (or after a
+    * torn round whose sketch commit didn't reach the checkpoint) misses the
+    * cache and re-pins from the checkpointed parquet — cold but exact. */
+  @volatile private var sketchCache: Option[(Int, graft.seen.SketchHandle)] = None
 
   private val SketchMeta = """sketch:b=(\d+);cap=(\d+);n=(\d+);seen=(\d+)""".r
   /** The sketch snapshot the checkpoint points at, with its geometry and the
@@ -299,8 +309,20 @@ final class CrawlEngine(
       val newlyExpired = seenRaw.filter(col("seen_round") === boundary)
         .select(col("url_hash"))
         .join(exactSeen, Seq("url_hash"), "left_anti")
-      val (filters, b, cap, inserted, rebuilt) = sketchMetaAt(ckpt.sketch) match {
+      val (handle, b, cap, inserted, rebuilt) = sketchMetaAt(ckpt.sketch) match {
         case Some((df, b0, cap0, n0, covered)) if n0 <= b0 * cap0 =>
+          // reuse the executor-pinned filters when this engine committed the
+          // checkpointed sketch itself — zero parquet re-read, zero sketch
+          // re-shuffle; a cache miss (fresh process / torn round) re-pins
+          // once from the checkpointed parquet
+          val pinned = sketchCache match {
+            case Some((id, h)) if id == ckpt.sketch => h
+            case stale =>
+              stale.foreach(_._2.unpersist())
+              val h = graft.seen.SketchHandle.pin(df, b0, cap0)
+              sketchCache = Some((ckpt.sketch, h))
+              h
+          }
           // fold in any seen appends the checkpointed sketch has not covered
           // (streaming-ingest stamps; rounds whose update was skipped) —
           // work ∝ the delta dirs straight off the manifest diff. This keeps
@@ -311,9 +333,10 @@ final class CrawlEngine(
           val deltaRows = seenCount -
             seenTable.snapshotAt(covered).map(_.rowCount).getOrElse(0L)
           val folded = seenTable.readDelta(covered, seenBase) match {
-            case Some(delta) => graft.seen.UrlSeen.updateCuckooFilters(
-              df, "url_hash", b0, cap0, inserts = Some(delta.select(col("url_hash"))))
-            case None => df
+            case Some(delta) => graft.seen.SketchHandle.update(
+              pinned, "url_hash", deletes = None,
+              inserts = Some(delta.select(col("url_hash"))))
+            case None => pinned
           }
           (folded, b0, cap0, n0 + math.max(deltaRows, 0L), false)
         case _ => // absent or outgrown: rebuild from the recent window only.
@@ -325,18 +348,19 @@ final class CrawlEngine(
           val expect = math.max(2 * seenCount, 1024L)
           val b0 = graft.seen.UrlSeen.bucketCount(expect)
           val cap0 = math.max(expect / b0, 1L)
-          (graft.seen.UrlSeen.buildCuckooFilters(exactSeen, "url_hash", expect, b0),
+          (graft.seen.SketchHandle.pin(
+            graft.seen.UrlSeen.buildCuckooFilters(exactSeen, "url_hash", expect, b0),
+            b0, cap0),
             b0, cap0, seenCount, true) // rowCount over-approximates the build's inserts
       }
-      val filtersP = scope.track(filters.persist())
-      RecrawlState(filtersP, exactSeen, newlyExpired, b, cap, inserted, rebuilt)
+      RecrawlState(handle, exactSeen, newlyExpired, b, cap, inserted, rebuilt)
     }
     val (scheduled0, deferred) = Scheduler.scheduleRoundNarrow(
       pending, robots, budgets, seen, seenCount, bloomFpp, defaultBudget, numPartitions,
       scope = scope, forcePartitionedSeen = forcePartitionedSeen,
       seenGate = recrawl.map(st => (narrow: DataFrame) =>
-        graft.seen.UrlSeen.antiJoinWithCuckoo(
-          narrow, st.filters, st.exactSeen, "url_hash", st.buckets, scope)))
+        graft.seen.SketchHandle.gate(
+          narrow, st.handle, st.exactSeen, "url_hash", scope)))
     // A3: plan-attached observe metrics — the scheduled count and per-round
     // host stats ride the materializing action for free (the reference's
     // count barriers, spinneys_extract_data.py:216-238, re-expressed as
@@ -499,13 +523,20 @@ final class CrawlEngine(
     // superset of exactSeen (the uncovered-delta fold at round start).
     val skTid = recrawl match {
       case Some(st) if st.rebuilt || scheduledCount > 0 =>
-        val updated = graft.seen.UrlSeen.updateCuckooFilters(
-          st.filters, "url_hash", st.buckets, st.capacity,
+        val updated = graft.seen.SketchHandle.update(
+          st.handle, "url_hash",
           deletes = if (st.rebuilt) None else Some(st.newlyExpired),
           inserts = Some(fetchedHashes))
-        val t = sketchTable.overwrite(updated,
+        val t = sketchTable.overwrite(
+          graft.seen.SketchHandle.toDf(spark, updated),
           s"sketch:b=${st.buckets};cap=${st.capacity};" +
             s"n=${st.inserted + scheduledCount};seen=$sTid")
+        // promote the just-committed generation to the pinned cache and
+        // release superseded generations (the previous cache entry and the
+        // round's fold intermediate, if any)
+        sketchCache.filter(_._2 ne updated).foreach(_._2.unpersist())
+        if (st.handle ne updated) st.handle.unpersist()
+        sketchCache = Some((t, updated))
         maybeCrash(8)
         t
       case _ => ckpt.sketch

@@ -25,6 +25,15 @@ case class CuckooAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[CuckooFilter] with UnaryLike[Expression] {
 
+  // analysis-time input validation (ADVICE r05): a non-LongType child (e.g.
+  // an int hash column) fails as an AnalysisException instead of a runtime
+  // ClassCastException in update() — mirroring ExtractAllExpr
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cuckoo_agg expects a BIGINT hash child, got ${child.dataType.catalogString}")
+
   override def createAggregationBuffer(): CuckooFilter =
     CuckooFilter.create(math.max(expectedItems, 1L))
 

@@ -284,9 +284,12 @@ object UrlSeen {
     val outSchema = StructType(Nil)
       .add("__bucket", IntegerType, nullable = false)
       .add("__filter", BinaryType, nullable = false)
-    // full_outer on the inserts side: a bucket new to the hash space must
-    // still materialize a filter row or its keys would be silently dropped
-    val joined0 = deletes.map(d => filters.join(lists(d, "__del"), Seq("__bucket"), "left"))
+    // full_outer on BOTH sides: a bucket new to the hash space must still
+    // materialize a filter row (inserts), and a delete list landing on a
+    // bucket with no filter row is a caller-contract violation
+    // (deletes-subset-of-inserted) that must fail loud instead of silently
+    // dropping the deletes (ADVICE r05)
+    val joined0 = deletes.map(d => filters.join(lists(d, "__del"), Seq("__bucket"), "full_outer"))
       .getOrElse(filters.withColumn("__del", lit(null).cast("array<bigint>")))
     val joined = inserts.map(i => joined0.join(lists(i, "__ins"), Seq("__bucket"), "full_outer"))
       .getOrElse(joined0.withColumn("__ins", lit(null).cast("array<bigint>")))
@@ -298,6 +301,11 @@ object UrlSeen {
         val untouched = (del == null || del.isEmpty) && (ins == null || ins.isEmpty)
         if (untouched && bytes != null) Row(r.getAs[Int]("__bucket"), bytes)
         else {
+          if (bytes == null && del != null && del.nonEmpty)
+            throw new IllegalStateException(
+              s"cuckoo delete for bucket ${r.getAs[Int]("__bucket")} has no filter row — " +
+                "deletes must be a subset of previously inserted keys " +
+                "(mismatched bucket count vs the sketch geometry?)")
           val f = if (bytes != null) CuckooFilter.deserialize(bytes)
             else CuckooFilter.create(math.max(perBucketCapacity, 1L))
           if (del != null) del.foreach(f.delete)
