@@ -30,6 +30,16 @@ import scala.collection.mutable
   * Uses the Hadoop FileSystem API so the same code runs on HDFS/S3A on a
   * real cluster (rename atomicity caveats on S3 are Iceberg's to solve; this
   * sandbox and HDFS give atomic rename).
+  *
+  * ATOMICITY ASSUMPTION (deployment note): commit safety rests on
+  * `fs.rename(tmp, CURRENT)` being atomic-and-immediately-visible, which
+  * local filesystems and HDFS guarantee but S3-like object stores do NOT
+  * (rename there is copy+delete; a reader can observe a missing or torn
+  * CURRENT mid-"rename"). An object-store deployment must swap this class
+  * for a real Iceberg catalog (the trait-shaped boundary here exists for
+  * exactly that swap) or front CURRENT with a conditional-put/DynamoDB-style
+  * pointer commit. The delete-before-rename pair in swingCurrent is the
+  * sensitive window.
   */
 final class SnapshotTable(spark: SparkSession, root: String) {
 
