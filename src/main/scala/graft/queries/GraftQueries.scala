@@ -506,7 +506,7 @@ object GraftQueries {
     (0 until 8).map(i => min(md5(concat(lit(s"${i}_"), col("token")).cast("binary"))).as(s"h$i"))
 
   private def qMinhashSig(s: SparkSession, dir: String): DataFrame =
-    spread(t(s, dir, "documents").filter(col("doc_id") < 1500))
+    t(s, dir, "documents").filter(col("doc_id") < 1500)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
       .groupBy("doc_id")
       .agg(minhashCols.head, minhashCols.tail: _*)
@@ -692,7 +692,7 @@ object GraftQueries {
     * their composition end-to-end against one DuckDB recursive-CTE replay. */
   private def qDedupPipeline(s: SparkSession, dir: String,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
-    val docs = spread(t(s, dir, "documents").filter(col("doc_id") < 1500))
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 1500)
     val tokens = split(col("text"), "\\s+")
     val stopHits = size(filter(tokens, tk =>
       Seq("the", "a", "and", "of").map(w => tk === lit(w)).reduce(_ || _))).cast("double")
@@ -776,7 +776,7 @@ object GraftQueries {
     * the 64-bit production variant is the same construction over 16 hex
     * chars — see SimHash.scala for the native implementation). */
   private def qSimhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = spread(t(s, dir, "documents"))
+    val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
       .withColumn("h4", substring(md5(col("token").cast("binary")), 1, 4))
     // nibble value of hex char c = strpos('0123456789abcdef', c) - 1
@@ -1715,7 +1715,7 @@ object GraftQueries {
     // sides of each pair self-join — and project-collapse would otherwise
     // inline the (interpreted higher-order) staged shingle build into each
     // of the 4 band slices
-    val sigs = scope.track(spread(t(s, dir, "documents").filter(col("doc_id") < NativeCheckDocs))
+    val sigs = scope.track(t(s, dir, "documents").filter(col("doc_id") < NativeCheckDocs)
       .select(col("doc_id"),
         graft.plans.MinHashShingledExpr.minhashShingled(wsTokens(col("text")), 16, 3).as("fused"),
         graft.plans.MinHashExpr.minhashNative(shingles(wsTokens(col("text")), 3), 16).as("staged"))
