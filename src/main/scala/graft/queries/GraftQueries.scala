@@ -884,7 +884,7 @@ object GraftQueries {
     * exactly SQL-mirrorable (md5 is the shared hash). */
   private def ivfDists(s: SparkSession, dir: String): DataFrame = {
     val k = ivfK(s, dir)
-    val emb = spread(t(s, dir, "embeddings")).select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), quantized(col("embedding")).as("q"))
     // TakeOrderedAndProject over ids only: distributed partial top-k, k ≈ √n
     val centIds = t(s, dir, "embeddings").select(col("vec_id"))
       .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
@@ -1044,7 +1044,7 @@ object GraftQueries {
     require(dim <= AnnOracleMaxDim,
       s"cross-engine LSH oracle embeds plane components up to dim $AnnOracleMaxDim; data has $dim")
     val planes = annPlanesFor(annPlaneCount(n), dim)
-    val emb = spread(t(s, dir, "embeddings")).select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), quantized(col("embedding")).as("q"))
     val withBits = planes.zipWithIndex.foldLeft(emb) { case (df, (p, j)) =>
       df.withColumn(s"__b$j",
         when(graft.plans.VecExprs.dot(col("q"), typedlit(p)) >= 0, lit(1L << j))
