@@ -608,11 +608,25 @@ object GraftQueries {
     * the oracle. */
   private val ShingleDfCap = 40
 
-  /** Evidence hook for the q_ngram_jaccard DF-cap observation (the query
-    * map's fixed (session, dir) signature cannot return it): holds the most
-    * recent call's Observation; read `dropped_trigram_occurrences` /
-    * `total_trigram_occurrences` after materializing the query. */
-  @volatile var lastNgramCapObservation: Option[org.apache.spark.sql.Observation] = None
+  /** The q_ngram_jaccard DF-cap drop as a first-class 1-row metric query
+    * (no-silent-caps rule): (dropped_trigram_occurrences,
+    * total_trigram_occurrences) over the SAME trigram/window subplan the
+    * query caps on. A recall-affecting truncation must be measurable;
+    * engine users and tools (DebugNgramCap) run this next to the query. */
+  def ngramCapStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = spread(t(s, dir, "documents").filter(col("doc_id") < 1500))
+    val trisAll = docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.shingles(split(col("text"), " "), 3))).as("tri"))
+    val dfW = Window.partitionBy(col("source"), col("tri"))
+    trisAll
+      .withColumn("__df", count(lit(1)).over(dfW))
+      .agg(
+        sum(when(col("__df") > ShingleDfCap, 1L).otherwise(0L))
+          .as("dropped_trigram_occurrences"),
+        count(lit(1)).as("total_trigram_occurrences"))
+  }
 
   /** n-gram Jaccard near-dup: token-trigram sets, pairwise Jaccard (milli,
     * floor-quantized) over pairs within the same source partition. */
@@ -626,19 +640,13 @@ object GraftQueries {
         explode(array_distinct(
           graft.functions.TextFunctions.shingles(split(col("text"), " "), 3))).as("tri"))
     val dfW = Window.partitionBy(col("source"), col("tri"))
-    // the DF-cap drop is OBSERVABLE (no-silent-caps rule, VERDICT r05 #4):
-    // any action over this query carries dropped/total trigram-occurrence
-    // counts as plan-attached metrics — zero extra jobs. The Observation is
-    // published through `lastNgramCapObservation` so harnesses/tools can
-    // report the fraction after materializing the query (Bench.scala is
-    // frozen this round, so the bench line itself cannot carry it).
-    val capObs = org.apache.spark.sql.Observation()
-    lastNgramCapObservation = Some(capObs)
+    // the DF-cap drop is observable via [[ngramCapStats]] (no-silent-caps
+    // rule, VERDICT r05 #4). A plan-attached observe() was tried and does
+    // NOT work here: the capped frame is persisted, and a CollectMetrics
+    // node inside a cached subtree is invisible to the outer execution's
+    // metric collection — Observation.get then blocks forever.
     val tris = scope.track(trisAll
       .withColumn("__df", count(lit(1)).over(dfW))
-      .observe(capObs,
-        sum(when(col("__df") > ShingleDfCap, 1L).otherwise(0L)).as("dropped_trigram_occurrences"),
-        count(lit(1)).as("total_trigram_occurrences"))
       .filter(col("__df") <= ShingleDfCap)
       .drop("__df")
       .persist()) // sizes + both sides of the pair join read it
