@@ -271,6 +271,12 @@ final class CrawlEngine(
     // barrier — NOT spark.catalog.clearCache(), which would evict unrelated
     // caches in a shared session (VERDICT r02)
     val scope = new graft.util.CacheScope
+    // sketch generations pinned DURING this round (fold intermediates, a
+    // rebuild pin, the commit's updated generation): released in the finally
+    // below unless promoted to the cross-round sketchCache — without this,
+    // idle rounds with uncovered seen deltas and torn rounds would each
+    // leak one persisted ~|sketch|-sized RDD until driver GC
+    val roundHandles = scala.collection.mutable.ListBuffer.empty[graft.seen.SketchHandle]
     try {
     val seenRaw = seenTable.readAt(seenBase).getOrElse {
       val e = Seq.empty[Long].toDF("url_hash")
@@ -333,9 +339,12 @@ final class CrawlEngine(
           val deltaRows = seenCount -
             seenTable.snapshotAt(covered).map(_.rowCount).getOrElse(0L)
           val folded = seenTable.readDelta(covered, seenBase) match {
-            case Some(delta) => graft.seen.SketchHandle.update(
-              pinned, "url_hash", deletes = None,
-              inserts = Some(delta.select(col("url_hash"))))
+            case Some(delta) =>
+              val f = graft.seen.SketchHandle.update(
+                pinned, "url_hash", deletes = None,
+                inserts = Some(delta.select(col("url_hash"))))
+              roundHandles += f
+              f
             case None => pinned
           }
           (folded, b0, cap0, n0 + math.max(deltaRows, 0L), false)
@@ -348,10 +357,11 @@ final class CrawlEngine(
           val expect = math.max(2 * seenCount, 1024L)
           val b0 = graft.seen.UrlSeen.bucketCount(expect)
           val cap0 = math.max(expect / b0, 1L)
-          (graft.seen.SketchHandle.pin(
+          val built = graft.seen.SketchHandle.pin(
             graft.seen.UrlSeen.buildCuckooFilters(exactSeen, "url_hash", expect, b0),
-            b0, cap0),
-            b0, cap0, seenCount, true) // rowCount over-approximates the build's inserts
+            b0, cap0)
+          roundHandles += built
+          (built, b0, cap0, seenCount, true) // rowCount over-approximates the build's inserts
       }
       RecrawlState(handle, exactSeen, newlyExpired, b, cap, inserted, rebuilt)
     }
@@ -527,15 +537,15 @@ final class CrawlEngine(
           st.handle, "url_hash",
           deletes = if (st.rebuilt) None else Some(st.newlyExpired),
           inserts = Some(fetchedHashes))
+        roundHandles += updated
         val t = sketchTable.overwrite(
           graft.seen.SketchHandle.toDf(spark, updated),
           s"sketch:b=${st.buckets};cap=${st.capacity};" +
             s"n=${st.inserted + scheduledCount};seen=$sTid")
         // promote the just-committed generation to the pinned cache and
-        // release superseded generations (the previous cache entry and the
-        // round's fold intermediate, if any)
+        // release superseded generations (the previous cache entry; the
+        // round-local intermediates go with roundHandles in the finally)
         sketchCache.filter(_._2 ne updated).foreach(_._2.unpersist())
-        if (st.handle ne updated) st.handle.unpersist()
         sketchCache = Some((t, updated))
         maybeCrash(8)
         t
@@ -572,8 +582,13 @@ final class CrawlEngine(
     scheduledCount
     // release exactly the frames THIS round persisted (engine + scheduler +
     // politeness + seen-gate call chain) — never the whole session cache —
-    // on success AND on a torn round (a long-lived driver retries rounds)
-    } finally scope.unpersistAll()
+    // on success AND on a torn round (a long-lived driver retries rounds).
+    // Round-local sketch generations go too, except the one promoted to the
+    // cross-round cache at commit.
+    } finally {
+      scope.unpersistAll()
+      roundHandles.filterNot(h => sketchCache.exists(_._2 eq h)).foreach(_.unpersist())
+    }
   }
 
   /** Drain a frontier to exhaustion (or maxRounds). Returns total URLs

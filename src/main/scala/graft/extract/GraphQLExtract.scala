@@ -287,10 +287,15 @@ object GraphQLExtract {
     // whole parse+window subtree (2 scans, 2 exchanges, 2 windows — the
     // exchanges are not plan-identical, so ReuseExchange never fired);
     // explode(array(combined) ++ split) emits the identical row multiset
-    // from a single pass
+    // from a single pass. The split side is coalesced to an empty array so
+    // a NULL barcode (doc with no sku) keeps its combined row exactly as
+    // the union form did — concat(x, NULL) is NULL and explode(NULL) would
+    // silently drop the product.
     kept.select(kept.columns.toSeq.map {
       case "barcode" =>
-        explode(concat(array(col("barcode")), split(col("barcode"), ", "))).as("barcode")
+        explode(concat(array(col("barcode")),
+          coalesce(split(col("barcode"), ", "), array().cast("array<string>"))))
+          .as("barcode")
       case c => col(c)
     }: _*)
   }

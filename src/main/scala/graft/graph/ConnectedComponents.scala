@@ -175,7 +175,11 @@ object ConnectedComponents {
       // hot threshold a round's cost is dominated by the driver round-trip
       // (checkpoint barrier + fixpoint check), not the joins, so squeezing a
       // second pointer jump into the SAME checkpointed plan halves the
-      // round count for the price of one extra (tiny) join per round. Above
+      // round count. The second jump references the unmaterialized first
+      // halve on both join sides, so the first halve's (tiny, broadcast,
+      // over-checkpointed-inputs) join is re-evaluated in-plan rather than
+      // persisted — measured cheaper than any extra barrier at this
+      // regime's scale. Above
       // the threshold rounds are SHUFFLE-bound — a second jump would re-run
       // the first halve's join inside the hot-label count on an
       // unmaterialized plan, costing more shuffle than the saved barrier —

@@ -17,6 +17,29 @@ object SketchProbes {
   /** The definitely-absent probe for buckets with no sketch row. */
   object Never extends LongPredicate { override def test(h: Long): Boolean = false }
 
+  /** EXECUTOR-GLOBAL deserialization cache keyed by (broadcast id, bucket):
+    * expression instances ride the task binary and are deserialized fresh
+    * per task, so an instance-level cache would re-deserialize every bucket
+    * once per task (and once more for each filter branch of the gate). The
+    * static map is shared by every task and both branches — genuinely one
+    * deserialization per bucket per executor. Bounded crudely: cleared
+    * whole when it outgrows the cap (the broadcast regime itself is bounded
+    * by the partitioned-scale threshold, so entries are small and few; the
+    * clear only costs re-deserialization). */
+  private val CacheCap = 1 << 16
+  private[plans] val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), LongPredicate]()
+  private[plans] def cachedProbe(
+      key: (Long, Int), load: () => LongPredicate): LongPredicate = {
+    var fn = probeCache.get(key)
+    if (fn == null) {
+      if (probeCache.size() > CacheCap) probeCache.clear()
+      fn = load()
+      probeCache.put(key, fn)
+    }
+    fn
+  }
+
   /** Cuckoo-sketch membership of `hash` against a broadcast per-bucket
     * filter map (bucket = pmod(hash, buckets)) — codegen'd, one
     * deserialization per bucket per EXECUTOR (lazy, cached), zero joins and
@@ -59,18 +82,22 @@ case class SketchAnyProbeExpr(
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"sketch_any_probe expects a BIGINT hash child, got ${child.dataType.catalogString}")
 
-  @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[Int, LongPredicate]()
+  /** Per-instance (= per-task) hot path: an array lookup per row, zero
+    * boxing. Loads go through the executor-global [[SketchProbes.probeCache]]
+    * so the actual deserialization runs once per (broadcast, bucket) per
+    * executor, not per task. Single-threaded by construction (one expression
+    * instance per deserialized task binary). */
+  @transient private lazy val local = new Array[LongPredicate](buckets)
 
-  /** Called from generated code — keep it public and allocation-free on the
-    * hit path. */
+  /** Called from generated code. */
   def probe(h: Long): Boolean = {
     val m = (h % buckets).toInt
     val bucket = if (m < 0) m + buckets else m // pmod semantics
-    var fn = cache.get(bucket)
+    var fn = local(bucket)
     if (fn == null) {
-      fn = sketches.value.get(bucket).map(deserialize).getOrElse(SketchProbes.Never)
-      cache.put(bucket, fn)
+      fn = SketchProbes.cachedProbe((sketches.id, bucket),
+        () => sketches.value.get(bucket).map(deserialize).getOrElse(SketchProbes.Never))
+      local(bucket) = fn
     }
     fn.test(h)
   }

@@ -608,45 +608,40 @@ object GraftQueries {
     * the oracle. */
   private val ShingleDfCap = 40
 
-  /** The q_ngram_jaccard DF-cap drop as a first-class 1-row metric query
-    * (no-silent-caps rule): (dropped_trigram_occurrences,
-    * total_trigram_occurrences) over the SAME trigram/window subplan the
-    * query caps on. A recall-affecting truncation must be measurable;
-    * engine users and tools (DebugNgramCap) run this next to the query. */
-  def ngramCapStats(s: SparkSession, dir: String): DataFrame = {
-    val docs = spread(t(s, dir, "documents").filter(col("doc_id") < 1500))
-    val trisAll = docs
+  /** The trigram universe with per-(source, tri) document frequency —
+    * trigrams via the shuffle-free array expression (TextFunctions.shingles;
+    * the earlier posexplode + per-doc window shuffled every token once).
+    * ONE definition shared by the capped query and its drop metric, so the
+    * metric can never drift from the subplan it claims to measure. */
+  private def ngramTrisWithDf(s: SparkSession, dir: String): DataFrame =
+    spread(t(s, dir, "documents").filter(col("doc_id") < 1500))
       .select(col("doc_id"), col("source"),
         explode(array_distinct(
           graft.functions.TextFunctions.shingles(split(col("text"), " "), 3))).as("tri"))
-    val dfW = Window.partitionBy(col("source"), col("tri"))
-    trisAll
-      .withColumn("__df", count(lit(1)).over(dfW))
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("source"), col("tri"))))
+
+  /** The q_ngram_jaccard DF-cap drop as a first-class 1-row metric query
+    * (no-silent-caps rule): (dropped_trigram_occurrences,
+    * total_trigram_occurrences) over the SAME trigram/window subplan the
+    * query caps on ([[ngramTrisWithDf]]). A recall-affecting truncation
+    * must be measurable; engine users and tools (DebugNgramCap) run this
+    * next to the query. A plan-attached observe() was tried and does NOT
+    * work: the capped frame is persisted, and a CollectMetrics node inside
+    * a cached subtree is invisible to the outer execution's metric
+    * collection — Observation.get then blocks forever. */
+  def ngramCapStats(s: SparkSession, dir: String): DataFrame =
+    ngramTrisWithDf(s, dir)
       .agg(
         sum(when(col("__df") > ShingleDfCap, 1L).otherwise(0L))
           .as("dropped_trigram_occurrences"),
         count(lit(1)).as("total_trigram_occurrences"))
-  }
 
   /** n-gram Jaccard near-dup: token-trigram sets, pairwise Jaccard (milli,
     * floor-quantized) over pairs within the same source partition. */
   private def qNgramJaccard(s: SparkSession, dir: String,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
-    val docs = spread(t(s, dir, "documents").filter(col("doc_id") < 1500))
-    // trigrams via the shuffle-free array expression (TextFunctions.shingles)
-    // — the earlier posexplode + per-doc window shuffled every token once
-    val trisAll = docs
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(
-          graft.functions.TextFunctions.shingles(split(col("text"), " "), 3))).as("tri"))
-    val dfW = Window.partitionBy(col("source"), col("tri"))
-    // the DF-cap drop is observable via [[ngramCapStats]] (no-silent-caps
-    // rule, VERDICT r05 #4). A plan-attached observe() was tried and does
-    // NOT work here: the capped frame is persisted, and a CollectMetrics
-    // node inside a cached subtree is invisible to the outer execution's
-    // metric collection — Observation.get then blocks forever.
-    val tris = scope.track(trisAll
-      .withColumn("__df", count(lit(1)).over(dfW))
+    val tris = scope.track(ngramTrisWithDf(s, dir)
       .filter(col("__df") <= ShingleDfCap)
       .drop("__df")
       .persist()) // sizes + both sides of the pair join read it
